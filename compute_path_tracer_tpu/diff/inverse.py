@@ -1,0 +1,71 @@
+"""Inverse rendering: optimize scene parameters to match a target image.
+
+BASELINE.json config #4: gradient-descent over the flat parameter vector
+(positions, radii, blends, albedos - every ``Param`` in the scene) against a
+target render.  Single-chip here; the tile-sharded multi-chip variant with
+psum gradient reduction lives in parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..scene.compile import SceneSpec
+from .vjp import make_loss
+
+
+class OptimizeResult(NamedTuple):
+    params: jnp.ndarray
+    losses: jnp.ndarray
+
+
+def optimize_to_target(
+    spec: SceneSpec,
+    init_params,
+    target,
+    *,
+    width: int,
+    height: int,
+    bounces: int = 2,
+    spp: int = 1,
+    steps: int = 100,
+    learning_rate: float = 2e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    implicit: bool = True,
+    param_mask=None,
+    callback: Optional[Callable[[int, float], None]] = None,
+) -> OptimizeResult:
+    """Adam-optimize the parameter vector toward a target image.
+
+    ``param_mask`` (same shape as params, 0/1) freezes entries - e.g. to
+    optimize only geometry or only albedo.  Returns final params and the
+    per-step loss trace.
+    """
+    loss_fn = make_loss(
+        spec, target, width=width, height=height, bounces=bounces, spp=spp,
+        implicit=implicit,
+    )
+    opt = optimizer or optax.adam(learning_rate)
+    params = jnp.asarray(init_params, jnp.float32)
+    mask = None if param_mask is None else jnp.asarray(param_mask, jnp.float32)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        if mask is not None:
+            grad = grad * mask
+        updates, opt_state = opt.update(grad, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1])
+    return OptimizeResult(params=params, losses=jnp.asarray(losses))

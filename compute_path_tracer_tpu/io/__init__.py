@@ -1,0 +1,13 @@
+"""Host I/O: PNG export and checkpoint/resume."""
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .png import encode_png_rgba, hdr_to_rgba8, load_png_rgba, save_png
+
+__all__ = [
+    "load_checkpoint",
+    "save_checkpoint",
+    "encode_png_rgba",
+    "hdr_to_rgba8",
+    "load_png_rgba",
+    "save_png",
+]

@@ -1,0 +1,312 @@
+"""The Pallas TPU megakernel: the whole path tracer fused in VMEM.
+
+The TPU-native re-architecture of the reference's single compute shader
+(reference: assets/shaders/path_tracer/test_compute.glsl, dispatched as a
+16x16-workgroup grid in src/path_tracer/path_tracer.rs:128-146):
+
+* the Pallas grid tiles the image; each program owns one (TILE_H, TILE_W)
+  pixel tile resident in VMEM - ray generation, the 80-step sphere march,
+  normals, BSDF sampling, the bounce loop and progressive accumulation all
+  run on that tile with zero HBM round-trips per march step;
+* the scene parameter vector (the ``data[]`` SSBO analog) sits in SMEM and
+  is read as scalars by the trace-time-unrolled ``map()``/``bounds()`` code -
+  the same closures the jnp oracle uses (render/scenegen.py), so kernel and
+  oracle share semantics *and* RNG bit-for-bit;
+* materials are fetched by winning-shape id with a select-accumulate over
+  the (static) shape list instead of a dynamic gather;
+* GPU thread divergence (march break, bounce break, russian roulette)
+  becomes masked lanes, as planned in SURVEY.md §7.
+
+The kernel is generated per SceneSpec: spec topology is baked in at trace
+time (the ``remake_pipeline`` analog; param-value edits reuse the compiled
+kernel unchanged).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV
+from ..ops.camera import calc_uv, primary_ray
+from ..ops.rng import gen_rng, random_float01
+from ..render.reference import Mat, colors_debug, normals_debug, path_trace
+from ..render.scenegen import make_bounds, make_map, material_slot_matrix
+from ..scene.compile import SceneSpec
+from ..vecmath import Vec3
+
+# Default VMEM tile. (64, 128) = 8192 pixels/program: f32-aligned lanes,
+# large enough to amortize per-program overhead, small enough that the
+# ~30 live per-pixel planes stay well under the VMEM budget.
+DEFAULT_TILE = (64, 128)
+
+
+def _make_smem_gather_mat(spec: SceneSpec, pv):
+    """Material fetch by shape id as a select-accumulate.
+
+    Dynamic vector gathers are awkward on TPU; with the shape list static we
+    instead fold ``where(idx == s, param, acc)`` over shapes, reading each
+    material scalar straight from SMEM.  Only the channels the shading loop
+    uses are materialized; the rest are zeros (test_compute.glsl:121-149
+    reads col/brightness/light/spec/spec_col/roughness only).
+    """
+    slots = material_slot_matrix(spec)
+    n = spec.n_shapes
+
+    def gather(idx):
+        zero = jnp.zeros(idx.shape, jnp.float32)
+
+        def chan(c):
+            acc = zero
+            for s in range(n):
+                acc = jnp.where(idx == s, pv[int(slots[s, c])], acc)
+            return acc
+
+        def chan3(c):
+            return Vec3(chan(c), chan(c + 1), chan(c + 2))
+
+        return Mat(
+            col=chan3(0),
+            brightness=chan(3),
+            light=chan3(4),
+            spec=chan(7),
+            spec_col=chan3(8),
+            roughness=chan(11),
+            ior=zero,
+            refract_chance=zero,
+            refract_roughness=zero,
+            refract_col=Vec3(zero, zero, zero),
+        )
+
+    return gather
+
+
+def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
+                 tile_h: int, tile_w: int):
+    map_fn = make_map(spec)
+    bounds_fn = make_bounds(spec)
+
+    def kernel(iparams_ref, fparams_ref, params_ref, accum_ref, out_ref):
+        frame = iparams_ref[0]
+        last_clear = iparams_ref[1]
+        bounces = iparams_ref[2]
+        fov = fparams_ref[0]
+        aspect = fparams_ref[1]
+        pv = params_ref
+
+        y0 = pl.program_id(0) * tile_h
+        x0 = pl.program_id(1) * tile_w
+        xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+
+        # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
+        rng = gen_rng(xs, ys, frame, width, height)
+        rng, jx = random_float01(rng)
+        rng, jy = random_float01(rng)
+        u, v = calc_uv(
+            xs.astype(jnp.float32) + (jx - 0.5),
+            ys.astype(jnp.float32) + (jy - 0.5),
+            width,
+            height,
+            aspect,
+        )
+        ro, rd = primary_ray(u, v, fov)
+
+        gather_mat = _make_smem_gather_mat(spec, pv)
+
+        if debug in (0, 3):
+            col, i_exit = path_trace(
+                map_fn, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
+            )
+            if debug == 3:
+                col = Vec3.splat(i_exit.astype(jnp.float32) / bounces.astype(jnp.float32))
+        elif debug == 1:
+            col = normals_debug(map_fn, bounds_fn, ro, rd, pv)
+        elif debug == 2:
+            col = colors_debug(map_fn, bounds_fn, gather_mat, ro, rd, pv)
+        else:
+            col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
+
+        if debug != 0:
+            out_ref[0] = col.x
+            out_ref[1] = col.y
+            out_ref[2] = col.z
+        else:
+            # Progressive running mean (test_compute.glsl:242-245).
+            w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
+            out_ref[0] = accum_ref[0] * (1.0 - w) + col.x * w
+            out_ref[1] = accum_ref[1] * (1.0 - w) + col.y * w
+            out_ref[2] = accum_ref[2] * (1.0 - w) + col.z * w
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "width", "height", "debug", "tile_h", "tile_w", "interpret"),
+)
+def _pallas_frame_planes(
+    spec: SceneSpec,
+    params,
+    accum_planes,  # (3, PH, PW) padded planar accumulator
+    frame,
+    last_clear,
+    bounces,
+    fov,
+    aspect,
+    *,
+    width: int,
+    height: int,
+    debug: int,
+    tile_h: int,
+    tile_w: int,
+    interpret: bool = False,
+):
+    ph, pw = accum_planes.shape[1], accum_planes.shape[2]
+    grid = (ph // tile_h, pw // tile_w)
+    iparams = jnp.stack(
+        [
+            jnp.asarray(frame, jnp.int32),
+            jnp.asarray(last_clear, jnp.int32),
+            jnp.asarray(bounces, jnp.int32),
+        ]
+    )
+    fparams = jnp.stack(
+        [jnp.asarray(fov, jnp.float32), jnp.asarray(aspect, jnp.float32)]
+    )
+
+    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w)
+    tile_spec = pl.BlockSpec(
+        (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(iparams, fparams, params, accum_planes)
+
+
+def _pad_to(x, mult_h, mult_w):
+    h, w = x.shape[1], x.shape[2]
+    ph = -(-h // mult_h) * mult_h
+    pw = -(-w // mult_w) * mult_w
+    if (ph, pw) == (h, w):
+        return x
+    return jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w)))
+
+
+def render_frame_pallas(
+    spec: SceneSpec,
+    params,
+    accum=None,
+    frame=0,
+    last_clear=0,
+    *,
+    width: int = 256,
+    height: int = 256,
+    debug: int = 0,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+    tile: tuple = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Drop-in replacement for render/reference.py:render_frame running the
+    Pallas megakernel.  Same (H, W, 3) accumulator interface; the image is
+    padded up to tile multiples internally and cropped on return."""
+    if aspect is None:
+        aspect = width / height
+    th, tw = tile
+    th = min(th, -(-height // 8) * 8) if height < th else th
+    tw = min(tw, max(128, tw)) if width < tw else tw
+    if accum is None:
+        accum = jnp.zeros((height, width, 3), jnp.float32)
+    planes = _pad_to(jnp.transpose(jnp.asarray(accum, jnp.float32), (2, 0, 1)), th, tw)
+    out = _pallas_frame_planes(
+        spec,
+        jnp.asarray(params, jnp.float32),
+        planes,
+        frame,
+        last_clear,
+        bounces,
+        fov,
+        aspect,
+        width=width,
+        height=height,
+        debug=debug,
+        tile_h=th,
+        tile_w=tw,
+        interpret=interpret,
+    )
+    return jnp.transpose(out[:, :height, :width], (1, 2, 0))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w", "interpret"),
+)
+def _accumulate_pallas_impl(
+    spec, params, bounces, fov, aspect,
+    *, width, height, n_frames, tile_h, tile_w, interpret=False,
+):
+    ph = -(-height // tile_h) * tile_h
+    pw = -(-width // tile_w) * tile_w
+    accum0 = jnp.zeros((3, ph, pw), jnp.float32)
+
+    def body(f, accum):
+        return _pallas_frame_planes(
+            spec, params, accum, f, f, bounces, fov, aspect,
+            width=width, height=height, debug=0,
+            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+        )
+
+    out = lax.fori_loop(0, n_frames, body, accum0)
+    return jnp.transpose(out[:, :height, :width], (1, 2, 0))
+
+
+def render_accumulated_pallas(
+    spec: SceneSpec,
+    params,
+    n_frames: int,
+    *,
+    width: int = 256,
+    height: int = 256,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+    tile: tuple = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Fused multi-frame progressive accumulation: the accumulator stays
+    planar on device across frames (no per-frame transposes)."""
+    if aspect is None:
+        aspect = width / height
+    th, tw = tile
+    return _accumulate_pallas_impl(
+        spec,
+        jnp.asarray(params, jnp.float32),
+        jnp.asarray(bounces, jnp.int32),
+        jnp.asarray(fov, jnp.float32),
+        jnp.asarray(aspect, jnp.float32),
+        width=width,
+        height=height,
+        n_frames=n_frames,
+        tile_h=th,
+        tile_w=tw,
+        interpret=interpret,
+    )

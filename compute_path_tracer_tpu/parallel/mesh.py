@@ -1,0 +1,173 @@
+"""Device-mesh tile sharding and parameter-gradient collectives.
+
+The distribution layer the reference doesn't have (SURVEY.md §2.3: the
+reference is single-process single-GPU; its only parallelism is the pixel
+workgroup grid).  The TPU-native scaling story from BASELINE.json:
+
+* **tile data parallelism**: the image's row bands are sharded over a 1-D
+  ``tiles`` mesh axis with ``shard_map``; each chip renders its band with the
+  same per-pixel RNG it would get in a single-chip render (the RNG is a pure
+  function of absolute pixel coords, so sharding is bit-invariant);
+* **replicated scene parameters**: the flat param vector (the ``data[]``
+  analog) is replicated, like the single SSBO shared by all GPU threads
+  (primitives.rs:59-157);
+* **gradient all-reduce over ICI**: the backward pass produces per-band
+  partial parameter gradients which ``lax.psum`` reduces across chips - the
+  NCCL-equivalent is XLA collectives over ICI, not a port of any GPU
+  transport;
+* **multi-host**: the same program runs under ``jax.distributed.initialize``
+  (see distributed.py); the mesh simply spans all processes' devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV
+from ..render.reference import render_pixels
+from ..scene.compile import SceneSpec
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the tile axis.  On a multi-host pod slice the device
+    order keeps each host's chips contiguous so bands ride ICI."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+def _band_coords(height: int, width: int, n_bands: int):
+    """Per-shard absolute pixel coordinates for this chip's row band."""
+    band_h = height // n_bands
+    y0 = lax.axis_index(TILE_AXIS) * band_h
+    xs = lax.broadcasted_iota(jnp.int32, (band_h, width), 1)
+    ys = y0 + lax.broadcasted_iota(jnp.int32, (band_h, width), 0)
+    return xs, ys
+
+
+def render_frame_sharded(
+    spec: SceneSpec,
+    params,
+    mesh: Mesh,
+    accum=None,
+    frame=0,
+    last_clear=0,
+    *,
+    width: int = 256,
+    height: int = 256,
+    debug: int = 0,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+):
+    """One progressively-accumulated frame with row bands sharded over the
+    mesh.  Bit-identical to the single-chip renderer for the same inputs:
+    only the pixel->chip assignment changes.
+
+    ``height`` must be divisible by the mesh size.
+    """
+    if aspect is None:
+        aspect = width / height
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    if accum is None:
+        accum = jnp.zeros((height, width, 3), jnp.float32)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P(), P(), P(), P(), P()),
+        out_specs=P(TILE_AXIS),
+    )
+    def run(params, accum_band, frame, last_clear, bounces, fov, aspect):
+        xs, ys = _band_coords(height, width, n)
+        col = render_pixels(
+            spec, params, xs, ys, frame, bounces, fov, aspect,
+            width=width, height=height, debug=debug,
+        ).stack()
+        if debug != 0:
+            return col
+        w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
+        return accum_band * (1.0 - w) + col * w
+
+    return run(
+        jnp.asarray(params, jnp.float32),
+        accum,
+        jnp.asarray(frame, jnp.int32),
+        jnp.asarray(last_clear, jnp.int32),
+        jnp.asarray(bounces, jnp.int32),
+        jnp.asarray(fov, jnp.float32),
+        jnp.asarray(aspect, jnp.float32),
+    )
+
+
+def make_sharded_train_step(
+    spec: SceneSpec,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    bounces: int = 2,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+    learning_rate: float = 2e-2,
+):
+    """Build the distributed inverse-rendering training step.
+
+    Loss = mean squared error between the rendered frame and a target image;
+    each chip differentiates its own row band w.r.t. the *replicated* param
+    vector and the per-band partial gradients are ``psum``-reduced over ICI
+    (BASELINE.json config #5).  Returns ``step(params, target, frame)`` ->
+    ``(new_params, loss)``; plain SGD here - optimizer-state variants live in
+    diff/inverse.py.
+
+    ``bounces`` is static so the bounce loop is a scan (reverse-mode
+    differentiable).
+    """
+    if aspect is None:
+        aspect = width / height
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    denom = float(width * height * 3)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    def step(params, target_band, frame):
+        xs, ys = _band_coords(height, width, n)
+
+        def band_loss(p):
+            col = render_pixels(
+                spec, p, xs, ys, frame, bounces,
+                jnp.float32(fov), jnp.float32(aspect),
+                width=width, height=height, debug=0,
+            ).stack()
+            return jnp.sum((col - target_band) ** 2)
+
+        loss_part, grad_part = jax.value_and_grad(band_loss)(params)
+        # The only cross-chip communication in the whole trainer: one psum
+        # of the (small) parameter gradient over ICI.
+        grad = lax.psum(grad_part, TILE_AXIS)
+        loss = lax.psum(loss_part, TILE_AXIS) / denom
+        new_params = params - learning_rate * (grad / denom)
+        return new_params, loss
+
+    return step

@@ -1,0 +1,406 @@
+"""The jax.numpy oracle renderer: sphere march, path trace, debug modes.
+
+A complete, vectorized re-implementation of the reference's compute kernel
+(reference: assets/shaders/path_tracer/test_compute.glsl) over whole (H, W)
+image planes.  This renderer is:
+
+* the *oracle* every other implementation is tested against (SURVEY.md §4) -
+  it shares its RNG bit-for-bit with the Pallas kernels, so images are
+  directly comparable;
+* a real TPU renderer in its own right: everything is jit-compiled XLA with
+  static shapes, masked fixed-trip loops instead of divergent breaks, and no
+  host round-trips inside a frame;
+* the differentiable path for plain ``jax.grad`` - all ops are jnp, so
+  gradients of rendered pixels w.r.t. the flat scene parameter vector flow
+  through the march, shading and accumulation.
+
+GPU early-exit ``break``s become masked lanes (SURVEY.md §7 "divergence ->
+masking"): every ray runs the full 80-step march and full bounce budget with
+``where``-gated state updates, which preserves semantics exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, OFFSET, STEPS
+from ..ops.camera import calc_uv, primary_ray
+from ..ops.rng import gen_rng, random_float01, random_unit_vector
+from ..scene.compile import SceneSpec
+from ..vecmath import Vec3, reflect, vmix, vwhere
+from .scenegen import make_bounds, make_map, material_slot_matrix
+
+
+class Mat(NamedTuple):
+    """SoA material planes, one entry per field of the reference's ``Mat``
+    struct (test_compute.glsl:45-59)."""
+
+    col: Vec3
+    brightness: Any
+    light: Vec3
+    spec: Any
+    spec_col: Vec3
+    roughness: Any
+    ior: Any
+    refract_chance: Any
+    refract_roughness: Any
+    refract_col: Vec3
+
+
+def gather_material(mat_table, idx) -> Mat:
+    """Fetch per-ray materials by winning-shape id; ``idx < 0`` yields the
+    all-zero MDEF material (test_compute.glsl:63)."""
+    shape = idx.shape
+    if mat_table.shape[0] == 0:
+        z = jnp.zeros(shape, jnp.float32)
+        zv = Vec3(z, z, z)
+        return Mat(zv, z, zv, z, zv, z, z, z, z, zv)
+    safe = jnp.maximum(idx, 0)
+    valid = idx >= 0
+
+    def chan(c):
+        return jnp.where(valid, mat_table[:, c][safe], 0.0)
+
+    def chan3(c):
+        return Vec3(chan(c), chan(c + 1), chan(c + 2))
+
+    return Mat(
+        col=chan3(0),
+        brightness=chan(3),
+        light=chan3(4),
+        spec=chan(7),
+        spec_col=chan3(8),
+        roughness=chan(11),
+        ior=chan(12),
+        refract_chance=chan(13),
+        refract_roughness=chan(14),
+        refract_col=chan3(15),
+    )
+
+
+def cast_ray(map_fn, ro: Vec3, rd: Vec3, pv, checks):
+    """Fixed-trip sphere march (test_compute.glsl:74-89).
+
+    Returns ``(t, idx)``: the accumulated distance and the id of the material
+    seen at the final map tap (-1 once t passed the far plane, i.e. MDEF).
+    Break conditions become a ``done`` mask; iteration order, the
+    increment-then-test sequencing and the |d| < MHD inside-surface hit all
+    match the GLSL.
+    """
+    # Carry inits derive from ro so they inherit its mesh-axis visibility
+    # under shard_map (a fresh constant would be unvarying and trip the scan
+    # carry type check).  The done mask is carried as int32: Mosaic cannot
+    # carry i1 vectors through scf.for.
+    t0 = ro.x * 0.0
+    done0 = t0.astype(jnp.int32)
+    idx0 = done0 - 1
+
+    def body(_, carry):
+        t, idx, done_i = carry
+        done = done_i != 0
+        p = ro + rd * t
+        d, mi = map_fn(p, pv, checks)
+        nt = jnp.where(done, t, t + d)
+        nidx = jnp.where(done, idx, mi)
+        far = nt > FP
+        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
+        ndone = done | (jnp.abs(d) < MHD) | far
+        return nt, nidx, ndone.astype(jnp.int32)
+
+    t, idx, _ = lax.fori_loop(0, STEPS, body, (t0, idx0, done0))
+    return t, idx
+
+
+def calc_normal(map_fn, p: Vec3, pv, checks) -> Vec3:
+    """Central-difference SDF gradient, 6 map taps, eps 1e-4
+    (funcs.glsl:21-35)."""
+    e = 1e-4
+
+    def tap(dx, dy, dz):
+        d, _ = map_fn(Vec3(p.x + dx, p.y + dy, p.z + dz), pv, checks)
+        return d
+
+    return Vec3(
+        tap(e, 0.0, 0.0) - tap(-e, 0.0, 0.0),
+        tap(0.0, e, 0.0) - tap(0.0, -e, 0.0),
+        tap(0.0, 0.0, e) - tap(0.0, 0.0, -e),
+    ).normalize_safe()
+
+
+def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounces,
+               cast_fn=None):
+    """Monte-Carlo bounce loop (test_compute.glsl:91-166).
+
+    Runs ``bounces + 1`` iterations (the GLSL loop is ``i <= s.bounces``) with
+    per-lane alive masks standing in for the miss / russian-roulette breaks.
+    Returns ``(radiance Vec3, i_exit int32)`` where ``i_exit`` is the GLSL
+    loop variable at exit, feeding the bounce-heatmap debug mode
+    (test_compute.glsl:163).
+
+    ``cast_fn`` overrides the sphere-march (same signature as
+    :func:`cast_ray`); the differentiable path substitutes the O(1)-memory
+    implicit-gradient march from diff/vjp.py here.
+    """
+    if cast_fn is None:
+        cast_fn = cast_ray
+    # Inits derive from ro for shard_map axis-visibility (see cast_ray).
+    zero = ro.x * 0.0
+    one = zero + 1.0
+    init = (
+        rng,
+        ro,
+        rd,
+        Vec3(zero, zero, zero),  # ret
+        Vec3(one, one, one),  # throughput
+        one.astype(jnp.int32),  # alive (int32: i1 can't be loop-carried)
+        zero.astype(jnp.int32) - 1,  # i_exit (-1 = still running)
+    )
+
+    def body(i, carry):
+        rng, ro, rd, ret, thr, alive_i, i_exit = carry
+        alive = alive_i != 0
+
+        checks, _dbg = bounds_fn(ro, rd, pv)
+        t, idx = cast_fn(map_fn, ro, rd, pv, checks)
+
+        miss = t > FP
+        i_exit = jnp.where(alive & miss, i, i_exit)
+        act = alive & ~miss
+
+        hit_pos = ro + rd * t
+        n = calc_normal(map_fn, hit_pos, pv, checks)
+        ro = vwhere(act, hit_pos + n * OFFSET, ro)
+
+        mat = gather_mat(idx)
+
+        # Stochastic specular-vs-diffuse branch (test_compute.glsl:121-144).
+        rng, r_spec = random_float01(rng)
+        do_spec = r_spec < mat.spec
+        ray_prob = jnp.maximum(jnp.where(do_spec, mat.spec, 1.0 - mat.spec), 1e-4)
+
+        rng, ruv = random_unit_vector(rng)
+        diffuse_dir = (n + ruv).normalize_safe()
+        spec_dir = vmix(
+            reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
+        ).normalize_safe()
+        rd = vwhere(act, vwhere(do_spec, spec_dir, diffuse_dir), rd)
+
+        # Emissive add + throughput update (test_compute.glsl:146-149).
+        # normalize(mat.light) is zero-safe here where the GLSL is undefined
+        # for a zero light color.
+        ret = vwhere(act, ret + mat.light.normalize_safe() * mat.brightness * thr, ret)
+        new_thr = thr * vwhere(do_spec, mat.spec_col, mat.col) / ray_prob
+
+        # Russian roulette on the max throughput channel
+        # (test_compute.glsl:153-159).
+        p_rr = new_thr.max_component()
+        rng, r_rr = random_float01(rng)
+        rr_dead = act & (r_rr > p_rr)
+        i_exit = jnp.where(rr_dead, i, i_exit)
+        surv = act & ~rr_dead
+        # 1/p with a guarded divide: p == 0 only on lanes the roulette just
+        # killed (r > 0 >= p), but the unguarded inf would leak NaN into
+        # reverse-mode through the select.
+        p_pos = p_rr > 0.0
+        inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
+        thr = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
+
+        return rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit
+
+    _, _, _, ret, _, _, i_exit = lax.fori_loop(0, bounces + 1, body, init)
+    # Natural loop exit leaves i == bounces + 1 in the GLSL.
+    i_exit = jnp.where(i_exit < 0, bounces + 1, i_exit)
+    return ret, i_exit
+
+
+def normals_debug(map_fn, bounds_fn, ro, rd, pv) -> Vec3:
+    """Debug mode 1: surface normals + AABB-hit tint (test_compute.glsl:170-179)."""
+    checks, dbg = bounds_fn(ro, rd, pv)
+    t, _idx = cast_ray(map_fn, ro, rd, pv, checks)
+    miss = t > FP
+    n = calc_normal(map_fn, ro + rd * t, pv, checks)
+    shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
+    return vwhere(miss, Vec3.splat(dbg), shaded)
+
+
+def colors_debug(map_fn, bounds_fn, gather_mat, ro, rd, pv) -> Vec3:
+    """Debug mode 2: first-hit albedo (test_compute.glsl:183-195)."""
+    checks, _dbg = bounds_fn(ro, rd, pv)
+    _t, idx = cast_ray(map_fn, ro, rd, pv, checks)
+    return gather_mat(idx).col
+
+
+def render_pixels(
+    spec: SceneSpec,
+    params,
+    xs,
+    ys,
+    frame,
+    bounces,
+    fov,
+    aspect,
+    *,
+    width: int,
+    height: int,
+    debug: int,
+) -> Vec3:
+    """Render an arbitrary block of pixels given their integer coordinates.
+
+    The core of the renderer: the full-frame path, the Pallas megakernel and
+    the shard_map tile-sharded path all reduce to this on their own coordinate
+    blocks.  ``width``/``height`` are the *full* image dimensions (they seed
+    the RNG and the NDC mapping); ``xs``/``ys`` may cover any sub-block.
+    ``bounces`` may be a traced int32 or a Python int - pass a Python int to
+    keep the bounce loop a scan (reverse-mode differentiable).
+    """
+    map_fn = make_map(spec)
+    bounds_fn = make_bounds(spec)
+    mat_table = params[jnp.asarray(material_slot_matrix(spec))]
+
+    def gather_mat(idx):
+        return gather_material(mat_table, idx)
+
+    # Per-pixel RNG + subpixel AA jitter (test_compute.glsl:224-229).
+    rng = gen_rng(xs, ys, frame, width, height)
+    rng, jx = random_float01(rng)
+    rng, jy = random_float01(rng)
+    u, v = calc_uv(
+        xs.astype(jnp.float32) + (jx - 0.5),
+        ys.astype(jnp.float32) + (jy - 0.5),
+        width,
+        height,
+        aspect,
+    )
+    ro, rd = primary_ray(u, v, fov)
+
+    if debug in (0, 3):
+        col, i_exit = path_trace(map_fn, bounds_fn, gather_mat, ro, rd, params, rng, bounces)
+        if debug == 3:
+            b = jnp.asarray(bounces, jnp.float32)
+            col = Vec3.splat(i_exit.astype(jnp.float32) / b)
+    elif debug == 1:
+        col = normals_debug(map_fn, bounds_fn, ro, rd, params)
+    elif debug == 2:
+        col = colors_debug(map_fn, bounds_fn, gather_mat, ro, rd, params)
+    else:
+        col = Vec3.splat(jnp.zeros(xs.shape, jnp.float32))
+    return col
+
+
+@partial(jax.jit, static_argnames=("spec", "width", "height", "debug"))
+def _render_frame_impl(
+    spec: SceneSpec,
+    params,
+    accum,
+    frame,
+    last_clear,
+    bounces,
+    fov,
+    aspect,
+    *,
+    width: int,
+    height: int,
+    debug: int,
+):
+    xs = lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    ys = lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    col = render_pixels(
+        spec, params, xs, ys, frame, bounces, fov, aspect,
+        width=width, height=height, debug=debug,
+    )
+    img = col.stack()
+    if debug != 0:
+        # Debug modes bypass accumulation (test_compute.glsl:240).
+        return img
+    # Progressive running mean (test_compute.glsl:242-245).
+    w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
+    return accum * (1.0 - w) + img * w
+
+
+def render_frame(
+    spec: SceneSpec,
+    params,
+    accum=None,
+    frame=0,
+    last_clear=0,
+    *,
+    width: int = 256,
+    height: int = 256,
+    debug: int = 0,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+):
+    """Render one frame; returns the (H, W, 3) linear-HDR image/accumulator.
+
+    ``debug``: 0 path trace (accumulated), 1 normals+AABB, 2 albedo,
+    3 bounce heatmap - the reference's Settings.debug slider
+    (path_tracer.rs:159).
+    """
+    if aspect is None:
+        aspect = width / height
+    if accum is None:
+        accum = jnp.zeros((height, width, 3), jnp.float32)
+    return _render_frame_impl(
+        spec,
+        jnp.asarray(params, jnp.float32),
+        accum,
+        jnp.asarray(frame, jnp.int32),
+        jnp.asarray(last_clear, jnp.int32),
+        jnp.asarray(bounces, jnp.int32),
+        jnp.asarray(fov, jnp.float32),
+        jnp.asarray(aspect, jnp.float32),
+        width=width,
+        height=height,
+        debug=debug,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec", "width", "height", "n_frames"))
+def _accumulate_impl(spec, params, bounces, fov, aspect, *, width, height, n_frames):
+    accum0 = jnp.zeros((height, width, 3), jnp.float32)
+
+    def body(f, accum):
+        return _render_frame_impl(
+            spec, params, accum, f, f, bounces, fov, aspect,
+            width=width, height=height, debug=0,
+        )
+
+    return lax.fori_loop(0, n_frames, body, accum0)
+
+
+def render_accumulated(
+    spec: SceneSpec,
+    params,
+    n_frames: int,
+    *,
+    width: int = 256,
+    height: int = 256,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+):
+    """Progressively accumulate ``n_frames`` frames in one compiled loop.
+
+    Frame f uses RNG stream f and running-mean weight 1/(f+1); f = 0 fully
+    overwrites the zero accumulator (the sane initialization - the reference
+    mixes its first frame against stale texture memory at weight 1/2,
+    path_tracer.rs:101-115).
+    """
+    if aspect is None:
+        aspect = width / height
+    return _accumulate_impl(
+        spec,
+        jnp.asarray(params, jnp.float32),
+        jnp.asarray(bounces, jnp.int32),
+        jnp.asarray(fov, jnp.float32),
+        jnp.asarray(aspect, jnp.float32),
+        width=width,
+        height=height,
+        n_frames=n_frames,
+    )
