@@ -16,11 +16,12 @@ import time
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 8
 N_PRIMS = 64
 WARMUP_FRAMES = 1
-TIMED_FRAMES = 4
+TIMED_FRAMES = 3
 
 
 def main():
     import jax
+    import numpy as np
 
     from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
 
@@ -45,7 +46,11 @@ def main():
                 debug=0,
                 bounces=BOUNCES,
             )
-        return accum.block_until_ready()
+        # Force completion with a device-to-host copy: on the axon platform
+        # block_until_ready can return before queued work executes, which
+        # fabricates absurd frame times; a D2H read cannot lie.
+        np.asarray(accum[:2, :2]).sum()
+        return accum
 
     try:
         accum = run(WARMUP_FRAMES, None, 0)  # compile + warm

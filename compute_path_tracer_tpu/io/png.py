@@ -58,8 +58,19 @@ def hdr_to_rgba8(img: np.ndarray, gamma: float = 2.2, flip_y: bool = True) -> np
 
 
 def save_png(path: str, img: np.ndarray, gamma: float = 2.2, flip_y: bool = True) -> None:
-    """Save a linear-HDR (H, W, 3) image as an 8-bit PNG file."""
-    data = encode_png_rgba(hdr_to_rgba8(img, gamma=gamma, flip_y=flip_y))
+    """Save a linear-HDR (H, W, 3) image as an 8-bit PNG file.
+
+    Uses the native C++ export path (io/native.py) when the library is
+    available; falls back to this module's pure-Python codec otherwise.
+    Both produce identical pixels.
+    """
+    from . import native
+
+    if native.available():
+        rgba = native.hdr_to_rgba8_native(np.asarray(img), gamma=gamma, flip_y=flip_y)
+        data = native.encode_png_rgba_native(rgba)
+    else:
+        data = encode_png_rgba(hdr_to_rgba8(img, gamma=gamma, flip_y=flip_y))
     with open(path, "wb") as f:
         f.write(data)
 

@@ -33,13 +33,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, OFFSET, STEPS
 from ..ops.camera import calc_uv, primary_ray
-from ..ops.rng import gen_rng, random_float01
-from ..render.reference import Mat, colors_debug, normals_debug, path_trace
-from ..render.scenegen import make_bounds, make_map, material_slot_matrix
+from ..ops.rng import gen_rng, random_float01, random_unit_vector
+from ..render.reference import Mat, calc_normal
+from ..render.scenegen import make_bounds, make_map_culled, material_slot_matrix
 from ..scene.compile import SceneSpec
-from ..vecmath import Vec3
+from ..vecmath import Vec3, reflect, vmix, vwhere
 
 # Default VMEM tile. (64, 128) = 8192 pixels/program: f32-aligned lanes,
 # large enough to amortize per-program overhead, small enough that the
@@ -87,9 +87,122 @@ def _make_smem_gather_mat(spec: SceneSpec, pv):
     return gather
 
 
+def _anyhit(checks):
+    """Tile-uniform per-shape predicates: does ANY lane's ray hit shape i's
+    AABB this bounce?  Feeds the whole-block skip in make_map_culled."""
+    return tuple(
+        None if c is None else (jnp.max(c.astype(jnp.int32)) > 0) for c in checks
+    )
+
+
+def _march_while(map_fn, ro, rd, pv, checks):
+    """Sphere march with tile-uniform early exit.
+
+    Identical lane semantics to render/reference.py:cast_ray (same masking,
+    same |d| < MHD / far-plane conditions); the while_loop additionally stops
+    as soon as EVERY lane in the tile is done, which is where most of the
+    80-step budget is saved (sky tiles exit in a few steps).
+    """
+    t0 = ro.x * 0.0
+    done0 = t0.astype(jnp.int32)
+    idx0 = done0 - 1
+
+    def cond(c):
+        step, _t, _idx, done_i = c
+        return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
+
+    def body(c):
+        step, t, idx, done_i = c
+        done = done_i != 0
+        p = ro + rd * t
+        d, mi = map_fn(p, pv, checks)
+        nt = jnp.where(done, t, t + d)
+        nidx = jnp.where(done, idx, mi)
+        far = nt > FP
+        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
+        ndone = done | (jnp.abs(d) < MHD) | far
+        return step + 1, nt, nidx, ndone.astype(jnp.int32)
+
+    _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))
+    return t, idx
+
+
+def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces):
+    """The bounce loop of render/reference.py:path_trace (same shading math,
+    test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
+    exits once every lane is dead, with per-bounce tile-level AABB culling."""
+    zero = ro.x * 0.0
+    one = zero + 1.0
+    init = (
+        jnp.int32(0),
+        rng,
+        ro,
+        rd,
+        Vec3(zero, zero, zero),  # ret
+        Vec3(one, one, one),  # throughput
+        one.astype(jnp.int32),  # alive
+        zero.astype(jnp.int32) - 1,  # i_exit
+    )
+
+    def cond(c):
+        i, _rng, _ro, _rd, _ret, _thr, alive_i, _i_exit = c
+        return jnp.logical_and(i <= bounces, jnp.max(alive_i) > 0)
+
+    def body(c):
+        i, rng, ro, rd, ret, thr, alive_i, i_exit = c
+        alive = alive_i != 0
+
+        checks, _dbg = bounds_fn(ro, rd, pv)
+        anyhit = _anyhit(checks)
+
+        def map_fn(p, pv_, checks_):
+            return map_culled(p, pv_, checks_, anyhit)
+
+        t, idx = _march_while(map_fn, ro, rd, pv, checks)
+
+        miss = t > FP
+        i_exit = jnp.where(alive & miss, i, i_exit)
+        act = alive & ~miss
+
+        hit_pos = ro + rd * t
+        n = calc_normal(map_fn, hit_pos, pv, checks)
+        ro = vwhere(act, hit_pos + n * OFFSET, ro)
+
+        mat = gather_mat(idx)
+
+        rng, r_spec = random_float01(rng)
+        do_spec = r_spec < mat.spec
+        ray_prob = jnp.maximum(jnp.where(do_spec, mat.spec, 1.0 - mat.spec), 1e-4)
+
+        rng, ruv = random_unit_vector(rng)
+        diffuse_dir = (n + ruv).normalize_safe()
+        spec_dir = vmix(
+            reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
+        ).normalize_safe()
+        rd = vwhere(act, vwhere(do_spec, spec_dir, diffuse_dir), rd)
+
+        ret = vwhere(act, ret + mat.light.normalize_safe() * mat.brightness * thr, ret)
+        new_thr = thr * vwhere(do_spec, mat.spec_col, mat.col) / ray_prob
+
+        p_rr = new_thr.max_component()
+        rng, r_rr = random_float01(rng)
+        rr_dead = act & (r_rr > p_rr)
+        i_exit = jnp.where(rr_dead, i, i_exit)
+        surv = act & ~rr_dead
+        p_pos = p_rr > 0.0
+        inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
+        thr = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
+
+        return i + 1, rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit
+
+    _, _, _, _, ret, _, _, i_exit = lax.while_loop(cond, body, init)
+    i_exit = jnp.where(i_exit < 0, bounces + 1, i_exit)
+    return ret, i_exit
+
+
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int):
-    map_fn = make_map(spec)
+    map_culled = make_map_culled(spec)
     bounds_fn = make_bounds(spec)
 
     def kernel(iparams_ref, fparams_ref, params_ref, accum_ref, out_ref):
@@ -121,15 +234,27 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         gather_mat = _make_smem_gather_mat(spec, pv)
 
         if debug in (0, 3):
-            col, i_exit = path_trace(
-                map_fn, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
+            col, i_exit = _path_trace_tile(
+                map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
             )
             if debug == 3:
                 col = Vec3.splat(i_exit.astype(jnp.float32) / bounces.astype(jnp.float32))
-        elif debug == 1:
-            col = normals_debug(map_fn, bounds_fn, ro, rd, pv)
-        elif debug == 2:
-            col = colors_debug(map_fn, bounds_fn, gather_mat, ro, rd, pv)
+        elif debug in (1, 2):
+            checks, dbg = bounds_fn(ro, rd, pv)
+            anyhit = _anyhit(checks)
+
+            def map_fn(p, pv_, checks_):
+                return map_culled(p, pv_, checks_, anyhit)
+
+            t, idx = _march_while(map_fn, ro, rd, pv, checks)
+            if debug == 1:
+                # normals + AABB tint (test_compute.glsl:170-179)
+                n = calc_normal(map_fn, ro + rd * t, pv, checks)
+                shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
+                col = vwhere(t > FP, Vec3.splat(dbg), shaded)
+            else:
+                # first-hit albedo (test_compute.glsl:183-195)
+                col = gather_mat(idx).col
         else:
             col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
 

@@ -6,6 +6,7 @@ from .mesh import (
     make_mesh,
     make_sharded_train_step,
     render_frame_sharded,
+    render_samples_sharded,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "make_mesh",
     "make_sharded_train_step",
     "render_frame_sharded",
+    "render_samples_sharded",
 ]

@@ -114,6 +114,57 @@ def render_frame_sharded(
     )
 
 
+def render_samples_sharded(
+    spec: SceneSpec,
+    params,
+    mesh: Mesh,
+    frames_per_device: int = 1,
+    frame0: int = 0,
+    *,
+    width: int = 256,
+    height: int = 256,
+    bounces: int = DEFAULT_BOUNCES,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+):
+    """Sample (ray-batch) parallelism: every chip renders the FULL image with
+    a disjoint set of frame indices (= RNG sample streams), and the running
+    mean is an all-reduce.
+
+    This is the second sharding axis from BASELINE.json ("ray batches over
+    chips"): orthogonal to tile sharding, it scales samples-per-second at a
+    fixed resolution.  The result equals a single-chip progressive
+    accumulation of ``n_devices * frames_per_device`` frames starting at
+    ``frame0`` (the running mean is frame-order invariant).
+    """
+    if aspect is None:
+        aspect = width / height
+    n = mesh.devices.size
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
+    def run(params):
+        dev = lax.axis_index(TILE_AXIS)
+        xs = lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        ys = lax.broadcasted_iota(jnp.int32, (height, width), 0)
+
+        def body(k, acc):
+            f = frame0 + dev * frames_per_device + k
+            col = render_pixels(
+                spec, params, xs, ys, f, jnp.int32(bounces),
+                jnp.float32(fov), jnp.float32(aspect),
+                width=width, height=height, debug=0,
+            ).stack()
+            return acc + col
+
+        acc = lax.fori_loop(
+            0, frames_per_device, body, jnp.zeros((height, width, 3), jnp.float32)
+        )
+        return lax.psum(acc, TILE_AXIS) / (n * frames_per_device)
+
+    return run(jnp.asarray(params, jnp.float32))
+
+
 def make_sharded_train_step(
     spec: SceneSpec,
     mesh: Mesh,
@@ -144,30 +195,34 @@ def make_sharded_train_step(
         raise ValueError(f"height {height} not divisible by mesh size {n}")
     denom = float(width * height * 3)
 
-    @jax.jit
+    # Forward-only sharded sum of squared error; differentiation happens
+    # OUTSIDE the shard_map region so its AD inserts the correct psums for
+    # the replicated parameter cotangent (the backward's parameter-gradient
+    # all-reduce over ICI).  Hand-psumming a grad taken inside the region
+    # double-counts contributions that shard_map's varying-axis transpose
+    # already reduces (e.g. the material-table gather).
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(TILE_AXIS), P()),
-        out_specs=(P(), P()),
+        out_specs=P(),
     )
-    def step(params, target_band, frame):
+    def sse(params, target_band, frame):
         xs, ys = _band_coords(height, width, n)
+        col = render_pixels(
+            spec, params, xs, ys, frame, bounces,
+            jnp.float32(fov), jnp.float32(aspect),
+            width=width, height=height, debug=0,
+        ).stack()
+        return lax.psum(jnp.sum((col - target_band) ** 2), TILE_AXIS)
 
-        def band_loss(p):
-            col = render_pixels(
-                spec, p, xs, ys, frame, bounces,
-                jnp.float32(fov), jnp.float32(aspect),
-                width=width, height=height, debug=0,
-            ).stack()
-            return jnp.sum((col - target_band) ** 2)
+    @jax.jit
+    def step(params, target, frame):
+        def loss_fn(p):
+            return sse(p, target, frame) / denom
 
-        loss_part, grad_part = jax.value_and_grad(band_loss)(params)
-        # The only cross-chip communication in the whole trainer: one psum
-        # of the (small) parameter gradient over ICI.
-        grad = lax.psum(grad_part, TILE_AXIS)
-        loss = lax.psum(loss_part, TILE_AXIS) / denom
-        new_params = params - learning_rate * (grad / denom)
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        new_params = params - learning_rate * grad
         return new_params, loss
 
     return step

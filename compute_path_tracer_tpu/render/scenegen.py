@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -141,6 +142,110 @@ def make_map(spec: SceneSpec):
         i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         for root in spec.roots:
             rd_, ri_ = _eval_union(root, p, pv, checks)
+            d, i = _combine(OP_UNION, d, i, rd_, ri_, 1)
+        return d, i
+
+    return map_fn
+
+
+def _empty_union_value(us: UnionSpec, pv):
+    """Scalar value a union evaluates to when every shape block is skipped:
+    the MAXHIT accumulator folded through child unions and scale corrections.
+    Used as the exact skip-branch value for whole-subtree culling."""
+    s = pv[us.transform.scale]
+    acc = jnp.float32(MAX_DIST)
+    k = pv[us.smooth_k] if us.op == OP_SMOOTH_UNION else None
+    for cu in us.children_unions:
+        child = _empty_union_value(cu, pv)
+        acc, _ = _combine(us.op, acc, jnp.int32(-1), child, jnp.int32(-1), 1, k)
+    return acc * s
+
+
+def _union_cull_pred(us: UnionSpec, anyhit):
+    """Static OR of the tile-level hit predicates of all descendant shapes.
+
+    Returns Python True when any descendant is unconditionally evaluated
+    (AABB disabled), else a traced scalar bool (or False for an empty tree).
+    """
+    terms = []
+    for cu in us.children_unions:
+        t = _union_cull_pred(cu, anyhit)
+        if t is True:
+            return True
+        if t is not False:
+            terms.append(t)
+    for ss in us.children_shapes:
+        if not ss.transform.aabb:
+            return True
+        terms.append(anyhit[ss.shape_id])
+    if not terms:
+        return False
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = jnp.logical_or(pred, t)
+    return pred
+
+
+def _eval_shape_culled(ss, p_node, pv, checks, anyhit, acc_d, acc_i, op, k, si):
+    """Shape eval wrapped in a tile-uniform skip: when no lane's ray hits the
+    shape's AABB the whole block is skipped (a uniform version of the
+    reference's per-thread guard, containers.rs:419-437 - identical results
+    because the per-lane guard would mask every lane anyway)."""
+    if not ss.transform.aabb:
+        return _eval_shape(ss, p_node, pv, checks, acc_d, acc_i, op, k, si)
+
+    def do(args):
+        a_d, a_i = args
+        return _eval_shape(ss, p_node, pv, checks, a_d, a_i, op, k, si)
+
+    def skip(args):
+        return args
+
+    return jax.lax.cond(anyhit[ss.shape_id], do, skip, (acc_d, acc_i))
+
+
+def _eval_union_culled(us: UnionSpec, p: Vec3, pv, checks, anyhit):
+    pred = _union_cull_pred(us, anyhit)
+
+    def evaluate(_):
+        p1, s = apply_transform(us.transform, p, pv)
+        k = pv[us.smooth_k] if us.op == OP_SMOOTH_UNION else None
+        acc_d = jnp.full_like(p.x, MAX_DIST)
+        acc_i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
+        for cu in us.children_unions:
+            cd, ci = _eval_union_culled(cu, p1, pv, checks, anyhit)
+            acc_d, acc_i = _combine(us.op, acc_d, acc_i, cd, ci, 1, k)
+        for si, ss in enumerate(us.children_shapes):
+            acc_d, acc_i = _eval_shape_culled(
+                ss, p1, pv, checks, anyhit, acc_d, acc_i, us.op, k, si
+            )
+        return acc_d * s, acc_i
+
+    if pred is True:
+        return evaluate(None)
+    if pred is False:
+        d = jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+        return d, jnp.full(p.x.shape, -1, dtype=jnp.int32)
+
+    def skip(_):
+        d = jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+        return d, jnp.full(p.x.shape, -1, dtype=jnp.int32)
+
+    return jax.lax.cond(pred, evaluate, skip, None)
+
+
+def make_map_culled(spec: SceneSpec):
+    """Like :func:`make_map` but with whole-subtree skipping driven by
+    tile-uniform AABB predicates (``anyhit``: one scalar bool per shape id,
+    or None for always-evaluated shapes).  Bit-identical results to the
+    per-lane-guard map; the skip branches are the dominant speedup of the
+    Pallas megakernel on scenes where each tile sees few primitives."""
+
+    def map_fn(p: Vec3, pv, checks, anyhit):
+        d = jnp.full_like(p.x, MAX_DIST)
+        i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
+        for root in spec.roots:
+            rd_, ri_ = _eval_union_culled(root, p, pv, checks, anyhit)
             d, i = _combine(OP_UNION, d, i, rd_, ri_, 1)
         return d, i
 
