@@ -52,12 +52,16 @@ def cmd_render(args) -> int:
         from ..kernels import render_frame_pallas
 
         frame_fn = render_frame_pallas
+    elif args.backend == "wavefront":
+        from ..kernels import render_frame_wavefront
+
+        frame_fn = render_frame_wavefront
     sess = RenderSession(scene, args.width, args.height, settings, frame_fn=frame_fn)
 
     t0 = time.perf_counter()
     sess.render(args.frames)
     dt = time.perf_counter() - t0
-    sess.save_image(args.out)
+    sess.save_image(args.out, tonemap=args.tonemap)
     px = sess.render_width * sess.render_height
     print(
         f"rendered {args.frames} frames at {sess.render_width}x{sess.render_height} "
@@ -142,8 +146,9 @@ def main(argv=None) -> int:
     r.add_argument("--debug", type=int, default=0, choices=(0, 1, 2, 3))
     r.add_argument("--fov", type=float, default=1.0)
     r.add_argument("--scale", type=float, default=1.0)
-    r.add_argument("--backend", default="xla", choices=("xla", "pallas"))
+    r.add_argument("--backend", default="xla", choices=("xla", "pallas", "wavefront"))
     r.add_argument("--out", default="image.png")
+    r.add_argument("--tonemap", default="gamma", choices=("gamma", "aces"))
     r.add_argument("--checkpoint", default=None)
     r.set_defaults(fn=cmd_render)
 

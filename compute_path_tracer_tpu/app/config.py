@@ -29,6 +29,11 @@ class Settings:
     bounces: int = DEFAULT_BOUNCES
     scale: float = 1.0
     fov: float = DEFAULT_FOV
+    # Present in the reference's Settings uniform and GUI (0..=1 slider) but
+    # never read by its kernel (test_compute.glsl has no use of s.aabb);
+    # kept for config parity.  AABB culling here is always semantically on,
+    # controlled per shape via Transform.aabb like the reference.
+    aabb: int = 0
 
     def validate(self) -> "Settings":
         if not 0 <= self.debug <= 3:
@@ -39,6 +44,8 @@ class Settings:
             raise ValueError("scale must be in 0.1..=1.0")
         if not 0.0 <= self.fov <= 5.0:
             raise ValueError("fov must be in 0..=5")
+        if self.aabb not in (0, 1):
+            raise ValueError("aabb must be 0 or 1")
         return self
 
 

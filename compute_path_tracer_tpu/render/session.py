@@ -142,9 +142,28 @@ class RenderSession:
         return out
 
     # -- export (state.rs:237-303) ------------------------------------------
-    def save_image(self, path: str, gamma: float = 2.2) -> None:
+    def save_image(self, path: str, gamma: float = 2.2, tonemap: str = "gamma") -> None:
+        """Export the accumulator as PNG.
+
+        ``tonemap="gamma"`` reproduces the reference's PNG export (plain
+        gamma-2.2 encode, state.rs:280-292); ``tonemap="aces"`` reproduces
+        what its *window* shows (exposure -> ACES -> sRGB,
+        render_texture_shader.wgsl:62-72).
+        """
         from ..io.png import save_png
 
         if self.accum is None:
             raise RuntimeError("nothing rendered yet")
-        save_png(path, np.asarray(self.accum), gamma=gamma)
+        img = np.asarray(self.accum)
+        if tonemap == "aces":
+            from ..ops.tonemap import color_correction
+            from ..vecmath import Vec3
+
+            img = np.asarray(
+                color_correction(Vec3.from_stacked(jnp.asarray(img))).stack()
+            )
+            save_png(path, img, gamma=1.0)  # already display-encoded
+        elif tonemap == "gamma":
+            save_png(path, img, gamma=gamma)
+        else:
+            raise ValueError("tonemap must be 'gamma' or 'aces'")

@@ -44,7 +44,12 @@ def _cmp(spec, params, debug, bounces=3, atol=0.0):
 @pytest.mark.parametrize("debug", [2, 1, 3, 0])
 def test_kernel_matches_oracle_sphere_plane(debug):
     cs = compile_scene(sphere_and_plane())
-    img = _cmp(cs.spec, cs.params, debug)
+    # debug 1 (normals) amplifies the 1-ulp map differences that lax.cond
+    # culling branches introduce (different FMA fusion inside the branch)
+    # through the central-difference gradient: ~1e-4 worst case.  The other
+    # modes are bit-exact: albedo/heatmap are discrete and the march's step
+    # rounding absorbs the ulp.
+    img = _cmp(cs.spec, cs.params, debug, atol=1e-4 if debug == 1 else 0.0)
     assert np.isfinite(img).all()
 
 
