@@ -1,9 +1,14 @@
 """Distribution: device meshes, tile sharding, gradient collectives."""
 
-from .distributed import initialize_distributed, local_device_info
+from .distributed import (
+    initialize_distributed,
+    local_device_info,
+    run_with_checkpoint_recovery,
+)
 from .mesh import (
     TILE_AXIS,
     make_mesh,
+    make_sharded_frame_fn,
     make_sharded_train_step,
     render_frame_sharded,
     render_samples_sharded,
@@ -12,8 +17,10 @@ from .mesh import (
 __all__ = [
     "initialize_distributed",
     "local_device_info",
+    "run_with_checkpoint_recovery",
     "TILE_AXIS",
     "make_mesh",
+    "make_sharded_frame_fn",
     "make_sharded_train_step",
     "render_frame_sharded",
     "render_samples_sharded",

@@ -40,6 +40,43 @@ def initialize_distributed(
     return True
 
 
+def run_with_checkpoint_recovery(
+    work,
+    checkpoint_dir: str,
+    *,
+    max_restarts: int = 3,
+    on_restart=None,
+):
+    """Failure-recovery harness: run ``work(state_dict) -> final_state`` with
+    restart-from-checkpoint on transient device failures.
+
+    The reference's failure story is surface-reconfigure-or-exit
+    (event_loop.rs:51-67); the multi-host TPU analog (SURVEY.md §5) is
+    restart-from-checkpoint: ``work`` receives the last checkpoint state
+    (empty dict on a fresh start) and is expected to call
+    io.checkpoint.save_checkpoint(checkpoint_dir, ...) at its own cadence.
+    Deterministic resume is guaranteed by the counter RNG: re-rendering from
+    the stored frame counters reproduces the exact sample sequence.
+    """
+    from ..io.checkpoint import load_checkpoint
+
+    attempts = 0
+    while True:
+        state = {}
+        try:
+            state = load_checkpoint(checkpoint_dir)
+        except Exception:
+            pass
+        try:
+            return work(state)
+        except jax.errors.JaxRuntimeError:
+            attempts += 1
+            if attempts > max_restarts:
+                raise
+            if on_restart is not None:
+                on_restart(attempts)
+
+
 def local_device_info() -> dict:
     """Topology summary for logging / perf accounting."""
     return {

@@ -114,6 +114,19 @@ def render_frame_sharded(
     )
 
 
+def make_sharded_frame_fn(mesh: Mesh):
+    """Adapt the tile-sharded renderer to the RenderSession frame_fn
+    signature, so a session can run distributed:
+    ``RenderSession(scene, w, h, frame_fn=make_sharded_frame_fn(mesh))``."""
+
+    def frame_fn(spec, params, accum=None, frame=0, last_clear=0, **kw):
+        return render_frame_sharded(
+            spec, params, mesh, accum=accum, frame=frame, last_clear=last_clear, **kw
+        )
+
+    return frame_fn
+
+
 def render_samples_sharded(
     spec: SceneSpec,
     params,
@@ -157,9 +170,10 @@ def render_samples_sharded(
             ).stack()
             return acc + col
 
-        acc = lax.fori_loop(
-            0, frames_per_device, body, jnp.zeros((height, width, 3), jnp.float32)
-        )
+        # Derive the init from the (varying) device index so the scan carry
+        # has consistent mesh-axis visibility.
+        acc0 = jnp.zeros((height, width, 3), jnp.float32) + dev.astype(jnp.float32) * 0.0
+        acc = lax.fori_loop(0, frames_per_device, body, acc0)
         return lax.psum(acc, TILE_AXIS) / (n * frames_per_device)
 
     return run(jnp.asarray(params, jnp.float32))
