@@ -201,9 +201,22 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
 
 
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
-                 tile_h: int, tile_w: int):
+                 tile_h: int, tile_w: int, sub_rows: int):
+    """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
+    independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
+
+    The subtile loop decouples culling/early-exit granularity from program
+    granularity: per-program overhead is amortized over the whole tile while
+    the AABB anyhit predicates, the march's all-done exit and the bounce
+    loop's all-dead exit are evaluated per subtile (a ~1%-of-screen strip),
+    where they are far sharper.  The loop is a fori (not unrolled) so the
+    scene code is traced once regardless of subtile count.
+    """
     map_culled = make_map_culled(spec)
     bounds_fn = make_bounds(spec)
+    if tile_h % sub_rows:
+        raise ValueError("tile_h must be a multiple of sub_rows")
+    n_sub = tile_h // sub_rows
 
     def kernel(iparams_ref, fparams_ref, params_ref, accum_ref, out_ref):
         frame = iparams_ref[0]
@@ -215,66 +228,76 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
 
         y0 = pl.program_id(0) * tile_h
         x0 = pl.program_id(1) * tile_w
-        xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-        ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-
-        # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
-        rng = gen_rng(xs, ys, frame, width, height)
-        rng, jx = random_float01(rng)
-        rng, jy = random_float01(rng)
-        u, v = calc_uv(
-            xs.astype(jnp.float32) + (jx - 0.5),
-            ys.astype(jnp.float32) + (jy - 0.5),
-            width,
-            height,
-            aspect,
-        )
-        ro, rd = primary_ray(u, v, fov)
-
         gather_mat = _make_smem_gather_mat(spec, pv)
 
-        if debug in (0, 3):
-            col, i_exit = _path_trace_tile(
-                map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
+        def sub_body(st, carry):
+            row = st * sub_rows
+            xs = x0 + lax.broadcasted_iota(jnp.int32, (sub_rows, tile_w), 1)
+            ys = y0 + row + lax.broadcasted_iota(jnp.int32, (sub_rows, tile_w), 0)
+
+            # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
+            rng = gen_rng(xs, ys, frame, width, height)
+            rng, jx = random_float01(rng)
+            rng, jy = random_float01(rng)
+            u, v = calc_uv(
+                xs.astype(jnp.float32) + (jx - 0.5),
+                ys.astype(jnp.float32) + (jy - 0.5),
+                width,
+                height,
+                aspect,
             )
-            if debug == 3:
-                col = Vec3.splat(i_exit.astype(jnp.float32) / bounces.astype(jnp.float32))
-        elif debug in (1, 2):
-            checks, dbg = bounds_fn(ro, rd, pv)
-            anyhit = _anyhit(checks)
+            ro, rd = primary_ray(u, v, fov)
 
-            def map_fn(p, pv_, checks_):
-                return map_culled(p, pv_, checks_, anyhit)
+            if debug in (0, 3):
+                col, i_exit = _path_trace_tile(
+                    map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
+                )
+                if debug == 3:
+                    col = Vec3.splat(
+                        i_exit.astype(jnp.float32) / bounces.astype(jnp.float32)
+                    )
+            elif debug in (1, 2):
+                checks, dbg = bounds_fn(ro, rd, pv)
+                anyhit = _anyhit(checks)
 
-            t, idx = _march_while(map_fn, ro, rd, pv, checks)
-            if debug == 1:
-                # normals + AABB tint (test_compute.glsl:170-179)
-                n = calc_normal(map_fn, ro + rd * t, pv, checks)
-                shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
-                col = vwhere(t > FP, Vec3.splat(dbg), shaded)
+                def map_fn(p, pv_, checks_):
+                    return map_culled(p, pv_, checks_, anyhit)
+
+                t, idx = _march_while(map_fn, ro, rd, pv, checks)
+                if debug == 1:
+                    # normals + AABB tint (test_compute.glsl:170-179)
+                    n = calc_normal(map_fn, ro + rd * t, pv, checks)
+                    shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
+                    col = vwhere(t > FP, Vec3.splat(dbg), shaded)
+                else:
+                    # first-hit albedo (test_compute.glsl:183-195)
+                    col = gather_mat(idx).col
             else:
-                # first-hit albedo (test_compute.glsl:183-195)
-                col = gather_mat(idx).col
-        else:
-            col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
+                col = Vec3.splat(jnp.zeros((sub_rows, tile_w), jnp.float32))
 
-        if debug != 0:
-            out_ref[0] = col.x
-            out_ref[1] = col.y
-            out_ref[2] = col.z
-        else:
-            # Progressive running mean (test_compute.glsl:242-245).
-            w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
-            out_ref[0] = accum_ref[0] * (1.0 - w) + col.x * w
-            out_ref[1] = accum_ref[1] * (1.0 - w) + col.y * w
-            out_ref[2] = accum_ref[2] * (1.0 - w) + col.z * w
+            rows = pl.ds(row, sub_rows)
+            if debug != 0:
+                out_ref[0, rows, :] = col.x
+                out_ref[1, rows, :] = col.y
+                out_ref[2, rows, :] = col.z
+            else:
+                # Progressive running mean (test_compute.glsl:242-245).
+                w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
+                out_ref[0, rows, :] = accum_ref[0, rows, :] * (1.0 - w) + col.x * w
+                out_ref[1, rows, :] = accum_ref[1, rows, :] * (1.0 - w) + col.y * w
+                out_ref[2, rows, :] = accum_ref[2, rows, :] * (1.0 - w) + col.z * w
+            return carry
+
+        lax.fori_loop(0, n_sub, sub_body, 0)
 
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "width", "height", "debug", "tile_h", "tile_w", "interpret"),
+    static_argnames=(
+        "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows", "interpret",
+    ),
 )
 def _pallas_frame_planes(
     spec: SceneSpec,
@@ -291,9 +314,12 @@ def _pallas_frame_planes(
     debug: int,
     tile_h: int,
     tile_w: int,
+    sub_rows: int = None,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
+    if sub_rows is None:
+        sub_rows = tile_h
     grid = (ph // tile_h, pw // tile_w)
     iparams = jnp.stack(
         [
@@ -306,7 +332,7 @@ def _pallas_frame_planes(
         [jnp.asarray(fov, jnp.float32), jnp.asarray(aspect, jnp.float32)]
     )
 
-    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w)
+    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -349,16 +375,24 @@ def render_frame_pallas(
     fov: float = DEFAULT_FOV,
     aspect: float = None,
     tile: tuple = DEFAULT_TILE,
+    sub_rows: int = None,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
     Pallas megakernel.  Same (H, W, 3) accumulator interface; the image is
-    padded up to tile multiples internally and cropped on return."""
+    padded up to tile multiples internally and cropped on return.
+
+    ``sub_rows`` subdivides each tile into (sub_rows, tile_w) subtiles for
+    sharper culling/early-exit granularity; measured SLOWER on v5e (narrow
+    vector work starves the VPU pipeline), so the default is one monolithic
+    subtile per tile.
+    """
     if aspect is None:
         aspect = width / height
     th, tw = tile
     th = min(th, -(-height // 8) * 8) if height < th else th
     tw = min(tw, max(128, tw)) if width < tw else tw
+    sub = th if sub_rows is None else min(sub_rows, th)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
     planes = _pad_to(jnp.transpose(jnp.asarray(accum, jnp.float32), (2, 0, 1)), th, tw)
@@ -376,6 +410,7 @@ def render_frame_pallas(
         debug=debug,
         tile_h=th,
         tile_w=tw,
+        sub_rows=sub,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))

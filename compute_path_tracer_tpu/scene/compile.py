@@ -18,6 +18,7 @@ emitting shader source, compilation produces
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -120,6 +121,17 @@ def _compile_shape(s: Shape, table: ParamTable, counter: list) -> ShapeSpec:
 def _compile_union(u: Union, table: ParamTable, counter: list) -> UnionSpec:
     # Walk order matches the reference map codegen: this node's transform,
     # then child unions, then child shapes (containers.rs:143-166).
+    if u.children_unions and u.children_shapes:
+        first = u.children_shapes[0]
+        warnings.warn(
+            f"union {u.name!r} mixes child unions with shapes: per the "
+            "reference fold (containers.rs:244-252) its first shape "
+            f"({first.name!r}) ASSIGNS into the accumulator and overwrites "
+            "the child unions' contribution whenever its AABB guard passes"
+            + (" (always: AABB disabled)" if not first.transform.aabb else "")
+            + "; put shapes in a sibling union if that is not intended",
+            stacklevel=2,
+        )
     tspec = _compile_transform(u.transform, table)
     k_slot = table.slot(u.smooth_k) if u.op == SMOOTH_UNION else -1
     children_u = tuple(_compile_union(cu, table, counter) for cu in u.children_unions)

@@ -95,18 +95,22 @@ def csg_demo() -> Scene:
     gem.transform.position.set(0.0, 1.4, 0.0)
     _set_mat(gem, color=(0.8, 0.3, 0.8))
 
-    ground = root.add_shape(Shape(KIND_PLANE, name="Ground"))
+    # Ground and lamp live in their OWN root union: a shape added next to
+    # child unions would clobber them via the reference's first-shape-assign
+    # fold (containers.rs:244-252; see scene/compile.py warning).
+    env = Union(name="Environment")
+    ground = env.add_shape(Shape(KIND_PLANE, name="Ground"))
     ground.transform.position.set(0.0, -1.2, 0.0)
     ground.transform.aabb = False
     _set_mat(ground, color=(0.55, 0.55, 0.55))
 
-    lamp = root.add_shape(Shape(KIND_SPHERE, name="Lamp"))
+    lamp = env.add_shape(Shape(KIND_SPHERE, name="Lamp"))
     lamp.size.set(8.0)
     lamp.transform.position.set(4.0, 20.0, -6.0)
     lamp.transform.aabb = False
     _set_mat(lamp, color=(0.0, 0.0, 0.0), brightness=6.0, light=(1.0, 0.9, 0.8))
 
-    return Scene([root], name="csg_demo")
+    return Scene([root, env], name="csg_demo")
 
 
 def blend_demo() -> Scene:
@@ -121,18 +125,20 @@ def blend_demo() -> Scene:
         s.transform.position.set(0.8 * math.cos(a), 0.35 * math.sin(2 * a), 0.8 * math.sin(a))
         _set_mat(s, color=(0.4 + 0.15 * i, 0.8 - 0.15 * i, 0.6))
 
-    ground = root.add_shape(Shape(KIND_PLANE, name="Ground"))
+    # Separate root: see csg_demo note on the first-shape-assign fold.
+    env = Union(name="Environment")
+    ground = env.add_shape(Shape(KIND_PLANE, name="Ground"))
     ground.transform.position.set(0.0, -1.0, 0.0)
     ground.transform.aabb = False
     _set_mat(ground, color=(0.6, 0.6, 0.6))
 
-    lamp = root.add_shape(Shape(KIND_SPHERE, name="Lamp"))
+    lamp = env.add_shape(Shape(KIND_SPHERE, name="Lamp"))
     lamp.size.set(10.0)
     lamp.transform.position.set(0.0, 25.0, -5.0)
     lamp.transform.aabb = False
     _set_mat(lamp, color=(0.0, 0.0, 0.0), brightness=5.0, light=(1.0, 1.0, 1.0))
 
-    return Scene([root], name="blend_demo")
+    return Scene([root, env], name="blend_demo")
 
 
 def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:

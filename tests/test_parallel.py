@@ -59,6 +59,23 @@ def test_height_must_divide():
         raise AssertionError("expected ValueError")
 
 
+def test_sharded_session_frame_fn():
+    from compute_path_tracer_tpu.app.config import Settings
+    from compute_path_tracer_tpu.parallel import make_sharded_frame_fn
+    from compute_path_tracer_tpu.render.session import RenderSession
+    from compute_path_tracer_tpu.scene import sphere_and_plane
+
+    mesh = make_mesh(8)
+    sess = RenderSession(
+        sphere_and_plane(), W, H, Settings(debug=2),
+        frame_fn=make_sharded_frame_fn(mesh),
+    )
+    img_s = np.asarray(sess.step())
+    cs = compile_scene(sphere_and_plane())
+    img_1 = np.asarray(render_frame(cs.spec, cs.params, width=W, height=H, debug=2))
+    np.testing.assert_array_equal(img_s, img_1)
+
+
 def test_psum_grad_matches_single_chip():
     cs = compile_scene(sphere_and_plane())
     mesh = make_mesh(8)

@@ -142,7 +142,37 @@ def test_csg_demo_renders():
     cs = compile_scene(csg_demo())
     img = np.asarray(render_frame(cs.spec, cs.params, width=W, height=H, debug=2))
     assert np.isfinite(img).all()
-    assert img.max() > 0
+    # The CSG objects (not just the ground plane) must be visible: expect the
+    # block's blue, the orb's white and the ground gray among first hits.
+    colors = np.unique(img.reshape(-1, 3), axis=0)
+    assert len(colors) >= 4
+
+
+def test_first_shape_assign_clobbers_child_unions():
+    # Faithful reference quirk (containers.rs:156-166 + 244-252): a union's
+    # first shape ASSIGNS into the accumulator, overwriting whatever its
+    # child unions contributed - unless the shape's AABB guard fails.
+    import warnings as _w
+
+    root = Union(name="Root")
+    inner = root.add_union(Union(name="Inner"))
+    s_in = inner.add_shape(Shape(KIND_SPHERE, name="InnerBall"))
+    s_in.size.set(0.5)
+    s_in.material.color.set(0.0, 1.0, 0.0)
+    plane = Shape(KIND_PLANE, name="Floor")
+    plane.transform.position.set(0.0, -2.0, 0.0)
+    plane.transform.aabb = False
+    plane.material.color.set(1.0, 0.0, 0.0)
+    root.children_shapes.append(plane)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cs = compile_scene(Scene([root]))
+    assert any("ASSIGN" in str(r.message) for r in rec)
+    img = np.asarray(render_frame(cs.spec, cs.params, width=W, height=H, debug=2))
+    center = img[H // 2, W // 2]
+    # The inner sphere is clobbered by the floor's unguarded assign: the
+    # center ray sees no green, only background (floor is below the ray).
+    np.testing.assert_allclose(center, [0, 0, 0], atol=1e-6)
 
 
 def test_nested_union_transform_and_scale():
