@@ -33,13 +33,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, OFFSET, STEPS
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, STEPS
 from ..ops.camera import calc_uv, primary_ray
-from ..ops.rng import gen_rng, random_float01, random_unit_vector
-from ..render.reference import Mat, calc_normal
+from ..ops.rng import gen_rng, random_float01
+from ..render.reference import Mat, calc_normal, shade_bounce
 from ..render.scenegen import make_bounds, make_map_culled, material_slot_matrix
 from ..scene.compile import SceneSpec
-from ..vecmath import Vec3, reflect, vmix, vwhere
+from ..vecmath import Vec3, vwhere
 
 # Default VMEM tile. (64, 128) = 8192 pixels/program: f32-aligned lanes,
 # large enough to amortize per-program overhead, small enough that the
@@ -166,23 +166,15 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
 
         hit_pos = ro + rd * t
         n = calc_normal(map_fn, hit_pos, pv, checks)
-        ro = vwhere(act, hit_pos + n * OFFSET, ro)
-
         mat = gather_mat(idx)
 
-        rng, r_spec = random_float01(rng)
-        do_spec = r_spec < mat.spec
-        ray_prob = jnp.maximum(jnp.where(do_spec, mat.spec, 1.0 - mat.spec), 1e-4)
-
-        rng, ruv = random_unit_vector(rng)
-        diffuse_dir = (n + ruv).normalize_safe()
-        spec_dir = vmix(
-            reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
-        ).normalize_safe()
-        rd = vwhere(act, vwhere(do_spec, spec_dir, diffuse_dir), rd)
-
-        ret = vwhere(act, ret + mat.light.normalize_safe() * mat.brightness * thr, ret)
-        new_thr = thr * vwhere(do_spec, mat.spec_col, mat.col) / ray_prob
+        rng, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
+            rng, rd, hit_pos, n, mat
+        )
+        ro = vwhere(act, new_ro, ro)
+        rd = vwhere(act, new_rd, rd)
+        ret = vwhere(act, ret + emit * thr, ret)
+        new_thr = thr * thr_factor / ray_prob
 
         p_rr = new_thr.max_component()
         rng, r_rr = random_float01(rng)

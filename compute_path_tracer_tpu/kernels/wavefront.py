@@ -31,13 +31,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, OFFSET
+from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP
 from ..ops.camera import calc_uv, primary_ray
-from ..ops.rng import gen_rng, random_float01, random_unit_vector
-from ..render.reference import calc_normal
+from ..ops.rng import gen_rng, random_float01
+from ..render.reference import calc_normal, shade_bounce
 from ..render.scenegen import make_bounds, make_map_culled
 from ..scene.compile import SceneSpec
-from ..vecmath import Vec3, reflect, vmix, vwhere
+from ..vecmath import Vec3, vwhere
 from .megakernel import _anyhit, _make_smem_gather_mat, _march_while
 
 # Ray-block geometry: each grid program owns (BLOCK_ROWS, 128) rays of the
@@ -114,25 +114,14 @@ def _make_bounce_kernel(spec: SceneSpec):
 
             hit_pos = ro + rd * t
             n = calc_normal(map_fn, hit_pos, pv, checks)
-            new_ro = hit_pos + n * OFFSET
-
             gather_mat = _make_smem_gather_mat(spec, pv)
             mat = gather_mat(idx)
 
-            rng, r_spec = random_float01(rng)
-            do_spec = r_spec < mat.spec
-            ray_prob = jnp.maximum(
-                jnp.where(do_spec, mat.spec, 1.0 - mat.spec), 1e-4
+            rng, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
+                rng, rd, hit_pos, n, mat
             )
-            rng, ruv = random_unit_vector(rng)
-            diffuse_dir = (n + ruv).normalize_safe()
-            spec_dir = vmix(
-                reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
-            ).normalize_safe()
-            new_rd = vwhere(do_spec, spec_dir, diffuse_dir)
-
-            add = mat.light.normalize_safe() * mat.brightness * thr
-            new_thr = thr * vwhere(do_spec, mat.spec_col, mat.col) / ray_prob
+            add = emit * thr
+            new_thr = thr * thr_factor / ray_prob
 
             p_rr = new_thr.max_component()
             rng, r_rr = random_float01(rng)

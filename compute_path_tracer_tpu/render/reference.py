@@ -132,6 +132,76 @@ def calc_normal(map_fn, p: Vec3, pv, checks) -> Vec3:
     ).normalize_safe()
 
 
+def refract_dir(i: Vec3, n: Vec3, eta):
+    """GLSL ``refract(I, N, eta)``: Snell refraction, zero vector on total
+    internal reflection, with gradient-safe sqrt."""
+    cosi = n.dot(i)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    ok = k >= 0.0
+    root = jnp.sqrt(jnp.where(ok, k, 0.0))
+    out = i * eta - n * (eta * cosi + root)
+    return vwhere(ok, out, Vec3.splat(jnp.zeros_like(k))), ok
+
+
+def shade_bounce(rng, rd: Vec3, hit_pos: Vec3, n: Vec3, mat):
+    """One hit's scatter + emission (test_compute.glsl:118-149), extended
+    with refraction through the reference's four reserved-but-unshaded
+    material slots (ior / refract chance / roughness / color;
+    test_compute.glsl:54-58 are carried but never read by its lighting).
+
+    A single RNG draw three-way-splits specular / refract / diffuse, so with
+    ``refract_chance == 0`` (the default material) every draw, branch and
+    value is bit-identical to the reference model.  The refractive index is
+    ``1 + ior``; entering rays are offset inside the surface, exiting rays
+    outside; total internal reflection falls back to mirror reflection.
+
+    Returns ``(rng, new_ro, new_rd, emit, thr_factor, ray_prob)``; callers
+    apply ``ret += emit * thr`` and ``thr *= thr_factor / ray_prob`` and run
+    Russian roulette themselves (their alive-masking differs).
+    """
+    rng, r_branch = random_float01(rng)
+    spec_c = mat.spec
+    refr_c = mat.refract_chance
+    do_spec = r_branch < spec_c
+    do_refr = jnp.logical_and(~do_spec, r_branch < spec_c + refr_c)
+    ray_prob = jnp.where(
+        do_spec, spec_c, jnp.where(do_refr, refr_c, 1.0 - spec_c - refr_c)
+    )
+    ray_prob = jnp.maximum(ray_prob, 1e-4)
+
+    rng, ruv = random_unit_vector(rng)
+    diffuse_dir = (n + ruv).normalize_safe()
+    spec_dir = vmix(
+        reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
+    ).normalize_safe()
+
+    # Refraction: flip the normal when exiting (ray and outward normal
+    # aligned), eta = n1/n2 with refractive index 1 + ior.
+    entering = rd.dot(n) < 0.0
+    n_eff = vwhere(entering, n, -n)
+    idx_ref = 1.0 + mat.ior
+    eta = jnp.where(entering, 1.0 / idx_ref, idx_ref)
+    refr, ok = refract_dir(rd, n_eff, eta)
+    refr = vwhere(ok, refr, reflect(rd, n_eff))
+    trans_diffuse = (-n_eff + ruv).normalize_safe()
+    refr = vmix(
+        refr, trans_diffuse, mat.refract_roughness * mat.refract_roughness
+    ).normalize_safe()
+
+    new_rd = vwhere(do_spec, spec_dir, vwhere(do_refr, refr, diffuse_dir))
+    # Respawn offset: along +n (test_compute.glsl:118) except refracted rays,
+    # which continue through the surface (-n_eff: inside when entering,
+    # outside when exiting).
+    offset_n = vwhere(do_refr, -n_eff, n)
+    new_ro = hit_pos + offset_n * OFFSET
+
+    emit = mat.light.normalize_safe() * mat.brightness
+    thr_factor = vwhere(
+        do_spec, mat.spec_col, vwhere(do_refr, mat.refract_col, mat.col)
+    )
+    return rng, new_ro, new_rd, emit, thr_factor, ray_prob
+
+
 def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounces,
                cast_fn=None):
     """Monte-Carlo bounce loop (test_compute.glsl:91-166).
@@ -174,27 +244,16 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
 
         hit_pos = ro + rd * t
         n = calc_normal(map_fn, hit_pos, pv, checks)
-        ro = vwhere(act, hit_pos + n * OFFSET, ro)
-
         mat = gather_mat(idx)
 
-        # Stochastic specular-vs-diffuse branch (test_compute.glsl:121-144).
-        rng, r_spec = random_float01(rng)
-        do_spec = r_spec < mat.spec
-        ray_prob = jnp.maximum(jnp.where(do_spec, mat.spec, 1.0 - mat.spec), 1e-4)
-
-        rng, ruv = random_unit_vector(rng)
-        diffuse_dir = (n + ruv).normalize_safe()
-        spec_dir = vmix(
-            reflect(rd, n), diffuse_dir, mat.roughness * mat.roughness
-        ).normalize_safe()
-        rd = vwhere(act, vwhere(do_spec, spec_dir, diffuse_dir), rd)
-
-        # Emissive add + throughput update (test_compute.glsl:146-149).
-        # normalize(mat.light) is zero-safe here where the GLSL is undefined
-        # for a zero light color.
-        ret = vwhere(act, ret + mat.light.normalize_safe() * mat.brightness * thr, ret)
-        new_thr = thr * vwhere(do_spec, mat.spec_col, mat.col) / ray_prob
+        # Scatter + emission (test_compute.glsl:118-149 + refraction ext).
+        rng, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
+            rng, rd, hit_pos, n, mat
+        )
+        ro = vwhere(act, new_ro, ro)
+        rd = vwhere(act, new_rd, rd)
+        ret = vwhere(act, ret + emit * thr, ret)
+        new_thr = thr * thr_factor / ray_prob
 
         # Russian roulette on the max throughput channel
         # (test_compute.glsl:153-159).

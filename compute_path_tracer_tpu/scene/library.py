@@ -141,6 +141,44 @@ def blend_demo() -> Scene:
     return Scene([root, env], name="blend_demo")
 
 
+def glass_demo() -> Scene:
+    """Refraction showcase: a glass sphere in front of colored objects
+    (exercises the refraction extension; the reference reserves these
+    material slots but never shades them)."""
+    root = Union(name="Root")
+
+    glass = root.add_shape(Shape(KIND_SPHERE, name="GlassBall"))
+    glass.size.set(0.8)
+    glass.transform.position.set(0.0, 0.0, -0.6)
+    m = glass.material
+    m.color.set(1.0, 1.0, 1.0)
+    m.specular_chance.set(0.06)
+    m.specular_color.set(1.0, 1.0, 1.0)
+    m.refract_chance.set(0.92)
+    m.refract_color.set(0.95, 0.97, 1.0)
+    m.ior.set(0.5)  # refractive index 1.5
+
+    behind = root.add_shape(Shape(KIND_CUBE, name="Backdrop"))
+    behind.size3.set(0.4, 0.4, 0.4)
+    behind.transform.position.set(0.6, 0.1, 1.6)
+    behind.transform.rotation.set(0.0, 0.7, 0.0)
+    _set_mat(behind, color=(0.9, 0.25, 0.2))
+
+    env = Union(name="Environment")
+    ground = env.add_shape(Shape(KIND_PLANE, name="Ground"))
+    ground.transform.position.set(0.0, -1.0, 0.0)
+    ground.transform.aabb = False
+    _set_mat(ground, color=(0.55, 0.6, 0.65))
+
+    lamp = env.add_shape(Shape(KIND_SPHERE, name="Lamp"))
+    lamp.size.set(8.0)
+    lamp.transform.position.set(-5.0, 18.0, -8.0)
+    lamp.transform.aabb = False
+    _set_mat(lamp, color=(0.0, 0.0, 0.0), brightness=6.0, light=(1.0, 0.96, 0.9))
+
+    return Scene([root, env], name="glass_demo")
+
+
 def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:
     """The 64-primitive CSG benchmark scene from BASELINE.json: a jittered
     grid of spheres/cubes/octahedra with varied materials, a ground plane and

