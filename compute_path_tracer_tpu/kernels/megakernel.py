@@ -28,7 +28,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -116,11 +115,12 @@ def _march_while(map_fn, ro, rd, pv, checks):
         done = done_i != 0
         p = ro + rd * t
         d, mi = map_fn(p, pv, checks)
-        nt = jnp.where(done, t, t + d)
+        ad = jnp.abs(d)  # absolute step: interior-traversable (see cast_ray)
+        nt = jnp.where(done, t, t + ad)
         nidx = jnp.where(done, idx, mi)
         far = nt > FP
         nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
-        ndone = done | (jnp.abs(d) < MHD) | far
+        ndone = done | (ad < MHD) | far
         return step + 1, nt, nidx, ndone.astype(jnp.int32)
 
     _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))

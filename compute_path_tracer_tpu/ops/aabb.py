@@ -9,8 +9,6 @@ the min/max folds resolve the resulting NaNs the same way jnp does.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..vecmath import Vec3, vmax, vmin
 
 

@@ -91,6 +91,15 @@ def cast_ray(map_fn, ro: Vec3, rd: Vec3, pv, checks):
     Break conditions become a ``done`` mask; iteration order, the
     increment-then-test sequencing and the |d| < MHD inside-surface hit all
     match the GLSL.
+
+    One deliberate difference: the step is ``t += |d|`` where the GLSL adds
+    the signed d (test_compute.glsl:81).  The two are identical whenever
+    d >= 0 - every state the reference can reach, since it never continues
+    rays into an interior - but the signed step makes negative-SDF regions
+    un-traversable (it pulls t backward onto the entry surface), which the
+    refraction extension requires.  In overshoot corner cases (|d| < MHD
+    about to hit) the absolute step lands up to 2*MHD past where the GLSL
+    would, at the same hit.
     """
     # Carry inits derive from ro so they inherit its mesh-axis visibility
     # under shard_map (a fresh constant would be unvarying and trip the scan
@@ -105,11 +114,12 @@ def cast_ray(map_fn, ro: Vec3, rd: Vec3, pv, checks):
         done = done_i != 0
         p = ro + rd * t
         d, mi = map_fn(p, pv, checks)
-        nt = jnp.where(done, t, t + d)
+        ad = jnp.abs(d)
+        nt = jnp.where(done, t, t + ad)
         nidx = jnp.where(done, idx, mi)
         far = nt > FP
         nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
-        ndone = done | (jnp.abs(d) < MHD) | far
+        ndone = done | (ad < MHD) | far
         return nt, nidx, ndone.astype(jnp.int32)
 
     t, idx, _ = lax.fori_loop(0, STEPS, body, (t0, idx0, done0))

@@ -29,7 +29,7 @@ recurses in the same order as the map walk, so check indices always line up.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ from typing import Tuple
 import numpy as np
 
 from .model import (
-    KIND_CUBE,
-    KIND_PLANE,
     SMOOTH_UNION,
     SUBTRACTION,
     UNION,
