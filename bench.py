@@ -33,6 +33,11 @@ def main():
         from compute_path_tracer_tpu.render import render_frame as frame_fn
         backend = "xla"
 
+    # Leaf-baked geometry (render/baked.py): same images as the faithful
+    # transform-chain map up to fp rounding (tests/test_baked.py), ~2.5x
+    # faster on v5e; the XLA fallback accepts the same kwarg.
+    geometry = "baked"
+
     def run(n_frames, accum, frame0):
         for f in range(n_frames):
             accum = frame_fn(
@@ -45,6 +50,7 @@ def main():
                 height=HEIGHT,
                 debug=0,
                 bounces=BOUNCES,
+                geometry=geometry,
             )
         # Force completion with a device-to-host copy: on the axon platform
         # block_until_ready can return before queued work executes, which
@@ -80,6 +86,7 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": value / 1e9,
                 "backend": backend,
+                "geometry": geometry,
                 "frame_ms": dt / TIMED_FRAMES * 1e3,
                 "device": str(jax.devices()[0]),
             }

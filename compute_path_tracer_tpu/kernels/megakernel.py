@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, STEPS
 from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
-from ..render.reference import Mat, calc_normal, shade_bounce
-from ..render.scenegen import make_bounds, make_map_culled, material_slot_matrix
+from ..render.baked import bake, make_bounds_baked, make_map_baked
+from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
+from ..render.scenegen import make_bounds, make_map, make_map_culled, material_slot_matrix
 from ..scene.compile import SceneSpec
 from ..vecmath import Vec3, vwhere
 
@@ -94,6 +95,96 @@ def _anyhit(checks):
     )
 
 
+_BIG = 4.0 * FP  # sentinel beyond any reachable march distance
+
+
+def _interval_scalars(checks, tns, tfs):
+    """Reduce per-lane AABB slab intervals to tile-uniform per-shape scalars
+    ``(anyhit, tn_min, tf_max)`` (None for always-evaluated shapes).
+
+    ``tn_min``/``tf_max`` bound the t-range over every lane whose ray hits the
+    shape's box, clamped to t >= 0 (rays start at t = 0; entry behind the
+    origin means "already inside").  Consumed by :func:`_march_while_tcull`.
+    """
+    out = []
+    for c, tn, tf in zip(checks, tns, tfs):
+        if c is None:
+            out.append(None)
+            continue
+        tn_min = jnp.min(jnp.where(c, jnp.maximum(tn, 0.0), _BIG))
+        tf_max = jnp.max(jnp.where(c, tf, -_BIG))
+        any_h = jnp.max(c.astype(jnp.int32)) > 0
+        out.append((any_h, tn_min, tf_max))
+    return tuple(out)
+
+
+def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals):
+    """Sphere march with PER-STEP t-interval shape culling.
+
+    The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
+    anywhere?"; this march additionally asks "...at the t-range the tile is
+    marching through RIGHT NOW".  Per step, with t_lo/t_hi the live-lane
+    t-front, shape i is
+
+    * active   - evaluated in the map - iff any lane hits its box and
+      ``tn_min_i <= t_hi`` and ``tf_max_i >= t_lo`` (the tile front overlaps
+      its interval);
+    * pending  - box ahead of every lane - excluded from the map, but its
+      ``tn_min`` clamps the step: ``step = min(|d|, max(m - t, MHD))`` with
+      ``m`` the nearest pending entry, so no lane can jump into an
+      unevaluated box (per lane, m - t <= own_tn - t = distance to its own
+      box entry; the MHD floor guarantees progress and at most MHD of
+      overshoot past a box ENTRY - not past a surface, which lies deeper);
+    * passed   - box fully behind every live lane - excluded outright (a
+      convex box's ray interval cannot be re-entered going forward).
+
+    Divergence from the per-ray-guard reference semantics (test_compute.glsl
+    :74-89 with the generated check[] guards): excluded shapes do not
+    contribute to the |d| < MHD hit test, which can flip hit/miss for rays
+    passing within MHD (1e-3) of a surface near a box boundary - an
+    eps-level edge effect measured at <0.1% of pixels; everything else is
+    exact because active shapes use the same fold.
+    """
+    t0 = ro.x * 0.0
+    done0 = t0.astype(jnp.int32)
+    idx0 = done0 - 1
+
+    def cond(c):
+        step, _t, _idx, done_i = c
+        return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
+
+    def body(c):
+        step, t, idx, done_i = c
+        done = done_i != 0
+        t_hi = jnp.max(jnp.where(done, -_BIG, t))
+        t_lo = jnp.min(jnp.where(done, _BIG, t))
+
+        active = []
+        m = jnp.float32(_BIG)
+        for iv in ivals:
+            if iv is None:
+                active.append(None)
+                continue
+            any_h, tn_min, tf_max = iv
+            not_reached = tn_min > t_hi
+            active.append(any_h & ~not_reached & (tf_max >= t_lo))
+            m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
+
+        p = ro + rd * t
+        d, mi = map_culled(p, pv, checks, tuple(active))
+        ad = jnp.abs(d)
+        step_len = jnp.minimum(ad, jnp.maximum(m - t, MHD))
+        nt = jnp.where(done, t, t + step_len)
+        nidx = jnp.where(done, idx, mi)
+        far = nt > FP
+        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
+        ndone = done | (ad < MHD) | far
+        return step + 1, nt, nidx, ndone.astype(jnp.int32)
+
+    _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))
+    return t, idx
+
+
 def _march_while(map_fn, ro, rd, pv, checks):
     """Sphere march with tile-uniform early exit.
 
@@ -127,10 +218,13 @@ def _march_while(map_fn, ro, rd, pv, checks):
     return t, idx
 
 
-def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces):
+def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
+                     normal_fn=calc_normal, t_cull=False):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
-    exits once every lane is dead, with per-bounce tile-level AABB culling."""
+    exits once every lane is dead, with per-bounce tile-level AABB culling
+    (plus per-step t-interval culling when ``t_cull``; the normal taps and
+    the material fetch always use the bounce-level sets)."""
     zero = ro.x * 0.0
     one = zero + 1.0
     init = (
@@ -152,20 +246,27 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
         i, rng, ro, rd, ret, thr, alive_i, i_exit = c
         alive = alive_i != 0
 
-        checks, _dbg = bounds_fn(ro, rd, pv)
+        if t_cull:
+            checks, tns, tfs, _dbg = bounds_fn(ro, rd, pv)
+            ivals = _interval_scalars(checks, tns, tfs)
+        else:
+            checks, _dbg = bounds_fn(ro, rd, pv)
         anyhit = _anyhit(checks)
 
         def map_fn(p, pv_, checks_):
             return map_culled(p, pv_, checks_, anyhit)
 
-        t, idx = _march_while(map_fn, ro, rd, pv, checks)
+        if t_cull:
+            t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals)
+        else:
+            t, idx = _march_while(map_fn, ro, rd, pv, checks)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
         act = alive & ~miss
 
         hit_pos = ro + rd * t
-        n = calc_normal(map_fn, hit_pos, pv, checks)
+        n = normal_fn(map_fn, hit_pos, pv, checks)
         mat = gather_mat(idx)
 
         rng, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
@@ -193,7 +294,9 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
 
 
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
-                 tile_h: int, tile_w: int, sub_rows: int):
+                 tile_h: int, tile_w: int, sub_rows: int,
+                 geometry: str = "faithful", normals: str = "central",
+                 t_cull: bool = False):
     """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
     independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
 
@@ -203,24 +306,49 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     loop's all-dead exit are evaluated per subtile (a ~1%-of-screen strip),
     where they are far sharper.  The loop is a fori (not unrolled) so the
     scene code is traced once regardless of subtile count.
+
+    ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
+    vector, render/baked.py) instead of re-deriving every transform chain per
+    map tap; ``normals="autodiff"`` swaps the 6-tap central difference for
+    reverse-mode AD of the map (~2 taps).
     """
-    map_culled = make_map_culled(spec)
-    bounds_fn = make_bounds(spec)
+    baked = geometry == "baked"
+    if baked:
+        map_culled = make_map_baked(spec)
+        bounds_fn = make_bounds_baked(spec, with_t=t_cull)
+    else:
+        map_culled = make_map_culled(spec)
+        bounds_fn = make_bounds(spec, with_t=t_cull)
+    if normals == "autodiff":
+        # Mosaic cannot yet compile the transpose of the anyhit lax.cond
+        # skips, so the (~2-tap) AD normal differentiates the PLAIN per-lane
+        # -guard map - same values, no conds.  The march keeps the culled map.
+        map_plain = make_map_baked(spec) if baked else make_map(spec)
+
+        def normal_fn(_map_fn, p, pv, checks):
+            return calc_normal_autodiff(map_plain, p, pv, checks)
+    else:
+        normal_fn = calc_normal
     if tile_h % sub_rows:
         raise ValueError("tile_h must be a multiple of sub_rows")
     n_sub = tile_h // sub_rows
 
-    def kernel(iparams_ref, fparams_ref, params_ref, accum_ref, out_ref):
+    def kernel(iparams_ref, fparams_ref, params_ref, *rest):
+        if baked:
+            gv_ref, accum_ref, out_ref = rest
+        else:
+            accum_ref, out_ref = rest
+            gv_ref = params_ref
         frame = iparams_ref[0]
         last_clear = iparams_ref[1]
         bounces = iparams_ref[2]
         fov = fparams_ref[0]
         aspect = fparams_ref[1]
-        pv = params_ref
+        pv = gv_ref  # geometry vector: baked coefficients or the raw params
 
         y0 = pl.program_id(0) * tile_h
         x0 = pl.program_id(1) * tile_w
-        gather_mat = _make_smem_gather_mat(spec, pv)
+        gather_mat = _make_smem_gather_mat(spec, params_ref)
 
         def sub_body(st, carry):
             row = st * sub_rows
@@ -242,23 +370,31 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
 
             if debug in (0, 3):
                 col, i_exit = _path_trace_tile(
-                    map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
+                    map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
+                    normal_fn=normal_fn, t_cull=t_cull,
                 )
                 if debug == 3:
                     col = Vec3.splat(
                         i_exit.astype(jnp.float32) / bounces.astype(jnp.float32)
                     )
             elif debug in (1, 2):
-                checks, dbg = bounds_fn(ro, rd, pv)
+                if t_cull:
+                    checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
+                    ivals = _interval_scalars(checks, tns, tfs)
+                else:
+                    checks, dbg = bounds_fn(ro, rd, pv)
                 anyhit = _anyhit(checks)
 
                 def map_fn(p, pv_, checks_):
                     return map_culled(p, pv_, checks_, anyhit)
 
-                t, idx = _march_while(map_fn, ro, rd, pv, checks)
+                if t_cull:
+                    t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals)
+                else:
+                    t, idx = _march_while(map_fn, ro, rd, pv, checks)
                 if debug == 1:
                     # normals + AABB tint (test_compute.glsl:170-179)
-                    n = calc_normal(map_fn, ro + rd * t, pv, checks)
+                    n = normal_fn(map_fn, ro + rd * t, pv, checks)
                     shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
                     col = vwhere(t > FP, Vec3.splat(dbg), shaded)
                 else:
@@ -288,7 +424,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
 @partial(
     jax.jit,
     static_argnames=(
-        "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows", "interpret",
+        "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows",
+        "geometry", "normals", "t_cull", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -307,6 +444,9 @@ def _pallas_frame_planes(
     tile_h: int,
     tile_w: int,
     sub_rows: int = None,
+    geometry: str = "faithful",
+    normals: str = "central",
+    t_cull: bool = False,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -324,24 +464,30 @@ def _pallas_frame_planes(
         [jnp.asarray(fov, jnp.float32), jnp.asarray(aspect, jnp.float32)]
     )
 
-    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows)
+    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows,
+                          geometry, normals, t_cull)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    inputs = [iparams, fparams, params]
+    in_specs = [smem, smem, smem]
+    if geometry == "baked":
+        # The per-frame bake: a tiny scalar XLA graph outside the kernel,
+        # differentiable params -> bv, negligible next to one tile's work.
+        inputs.append(bake(spec, params))
+        in_specs.append(smem)
+    inputs.append(accum_planes)
+    in_specs.append(tile_spec)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            tile_spec,
-        ],
+        in_specs=in_specs,
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
-        input_output_aliases={3: 0},
+        input_output_aliases={len(inputs) - 1: 0},
         interpret=interpret,
-    )(iparams, fparams, params, accum_planes)
+    )(*inputs)
 
 
 def _pad_to(x, mult_h, mult_w):
@@ -368,6 +514,9 @@ def render_frame_pallas(
     aspect: float = None,
     tile: tuple = DEFAULT_TILE,
     sub_rows: int = None,
+    geometry: str = "faithful",
+    normals: str = "central",
+    t_cull: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -403,6 +552,9 @@ def render_frame_pallas(
         tile_h=th,
         tile_w=tw,
         sub_rows=sub,
+        geometry=geometry,
+        normals=normals,
+        t_cull=t_cull,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))
@@ -410,11 +562,13 @@ def render_frame_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w", "interpret"),
+    static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w",
+                     "geometry", "normals", "t_cull", "interpret"),
 )
 def _accumulate_pallas_impl(
     spec, params, bounces, fov, aspect,
-    *, width, height, n_frames, tile_h, tile_w, interpret=False,
+    *, width, height, n_frames, tile_h, tile_w,
+    geometry="faithful", normals="central", t_cull=False, interpret=False,
 ):
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -424,7 +578,8 @@ def _accumulate_pallas_impl(
         return _pallas_frame_planes(
             spec, params, accum, f, f, bounces, fov, aspect,
             width=width, height=height, debug=0,
-            tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+            tile_h=tile_h, tile_w=tile_w,
+            geometry=geometry, normals=normals, t_cull=t_cull, interpret=interpret,
         )
 
     out = lax.fori_loop(0, n_frames, body, accum0)
@@ -442,6 +597,9 @@ def render_accumulated_pallas(
     fov: float = DEFAULT_FOV,
     aspect: float = None,
     tile: tuple = DEFAULT_TILE,
+    geometry: str = "faithful",
+    normals: str = "central",
+    t_cull: bool = False,
     interpret: bool = False,
 ):
     """Fused multi-frame progressive accumulation: the accumulator stays
@@ -460,5 +618,8 @@ def render_accumulated_pallas(
         n_frames=n_frames,
         tile_h=th,
         tile_w=tw,
+        geometry=geometry,
+        normals=normals,
+        t_cull=t_cull,
         interpret=interpret,
     )

@@ -142,6 +142,26 @@ def calc_normal(map_fn, p: Vec3, pv, checks) -> Vec3:
     ).normalize_safe()
 
 
+def calc_normal_autodiff(map_fn, p: Vec3, pv, checks) -> Vec3:
+    """Exact SDF gradient by reverse-mode AD of one map tap.
+
+    Replaces the 6-tap central difference (funcs.glsl:21-35) with ~2 taps of
+    work (forward + transpose).  Unlike per-leaf analytic normals this is
+    exact for EVERY fold the map performs - subtraction negations, AABB-guard
+    skips, smooth-union blending - because it differentiates the very
+    function the march hit.  Divergence from the reference: exact gradient
+    instead of the eps=1e-4 finite difference (sub-eps image change).
+    """
+
+    def d_of(px, py, pz):
+        d, _ = map_fn(Vec3(px, py, pz), pv, checks)
+        return d
+
+    _, vjp = jax.vjp(d_of, p.x, p.y, p.z)
+    gx, gy, gz = vjp(jnp.ones_like(p.x))
+    return Vec3(gx, gy, gz).normalize_safe()
+
+
 def refract_dir(i: Vec3, n: Vec3, eta):
     """GLSL ``refract(I, N, eta)``: Snell refraction, zero vector on total
     internal reflection, with gradient-safe sqrt."""
@@ -213,7 +233,7 @@ def shade_bounce(rng, rd: Vec3, hit_pos: Vec3, n: Vec3, mat):
 
 
 def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounces,
-               cast_fn=None):
+               cast_fn=None, normal_fn=None):
     """Monte-Carlo bounce loop (test_compute.glsl:91-166).
 
     Runs ``bounces + 1`` iterations (the GLSL loop is ``i <= s.bounces``) with
@@ -224,10 +244,16 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
 
     ``cast_fn`` overrides the sphere-march (same signature as
     :func:`cast_ray`); the differentiable path substitutes the O(1)-memory
-    implicit-gradient march from diff/vjp.py here.
+    implicit-gradient march from diff/vjp.py here.  ``normal_fn`` overrides
+    the surface normal: ``(map_fn, p, pv, checks, idx) -> Vec3`` (default =
+    the 6-tap central difference; the baked path plugs its one-tap analytic
+    gradient in here).
     """
     if cast_fn is None:
         cast_fn = cast_ray
+    if normal_fn is None:
+        def normal_fn(map_fn_, p, pv_, checks_, _idx):
+            return calc_normal(map_fn_, p, pv_, checks_)
     # Inits derive from ro for shard_map axis-visibility (see cast_ray).
     zero = ro.x * 0.0
     one = zero + 1.0
@@ -253,7 +279,7 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
         act = alive & ~miss
 
         hit_pos = ro + rd * t
-        n = calc_normal(map_fn, hit_pos, pv, checks)
+        n = normal_fn(map_fn, hit_pos, pv, checks, idx)
         mat = gather_mat(idx)
 
         # Scatter + emission (test_compute.glsl:118-149 + refraction ext).
@@ -287,12 +313,15 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
     return ret, i_exit
 
 
-def normals_debug(map_fn, bounds_fn, ro, rd, pv) -> Vec3:
+def normals_debug(map_fn, bounds_fn, ro, rd, pv, normal_fn=None) -> Vec3:
     """Debug mode 1: surface normals + AABB-hit tint (test_compute.glsl:170-179)."""
     checks, dbg = bounds_fn(ro, rd, pv)
-    t, _idx = cast_ray(map_fn, ro, rd, pv, checks)
+    t, idx = cast_ray(map_fn, ro, rd, pv, checks)
     miss = t > FP
-    n = calc_normal(map_fn, ro + rd * t, pv, checks)
+    if normal_fn is None:
+        n = calc_normal(map_fn, ro + rd * t, pv, checks)
+    else:
+        n = normal_fn(map_fn, ro + rd * t, pv, checks, idx)
     shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
     return vwhere(miss, Vec3.splat(dbg), shaded)
 
@@ -317,6 +346,8 @@ def render_pixels(
     width: int,
     height: int,
     debug: int,
+    geometry: str = "faithful",
+    normals: str = "central",
 ) -> Vec3:
     """Render an arbitrary block of pixels given their integer coordinates.
 
@@ -326,9 +357,38 @@ def render_pixels(
     the RNG and the NDC mapping); ``xs``/``ys`` may cover any sub-block.
     ``bounces`` may be a traced int32 or a Python int - pass a Python int to
     keep the bounce loop a scan (reverse-mode differentiable).
+
+    ``geometry="baked"`` evaluates the scene through per-frame leaf-baked
+    affine coefficients (render/baked.py) instead of the faithful per-tap
+    transform chains - same results up to fp rounding, far fewer flops per
+    map tap.  ``normals="analytic"`` (baked only) replaces the 6-tap central
+    difference with the winning leaf's closed-form gradient.
     """
-    map_fn = make_map(spec)
-    bounds_fn = make_bounds(spec)
+    if geometry == "baked":
+        from .baked import bake, make_bounds_baked, make_map_baked
+
+        bv = bake(spec, params)
+        bmap = make_map_baked(spec)
+        bbounds = make_bounds_baked(spec)
+
+        def map_fn(p, _pv, checks):
+            return bmap(p, bv, checks)
+
+        def bounds_fn(ro, rd, _pv):
+            return bbounds(ro, rd, bv)
+
+    elif geometry == "faithful":
+        map_fn = make_map(spec)
+        bounds_fn = make_bounds(spec)
+    else:
+        raise ValueError("geometry must be 'faithful' or 'baked'")
+    if normals == "autodiff":
+        def normal_fn(map_fn_, p, pv_, checks_, _idx):
+            return calc_normal_autodiff(map_fn_, p, pv_, checks_)
+    elif normals == "central":
+        normal_fn = None
+    else:
+        raise ValueError("normals must be 'central' or 'autodiff'")
     mat_table = params[jnp.asarray(material_slot_matrix(spec))]
 
     def gather_mat(idx):
@@ -348,12 +408,13 @@ def render_pixels(
     ro, rd = primary_ray(u, v, fov)
 
     if debug in (0, 3):
-        col, i_exit = path_trace(map_fn, bounds_fn, gather_mat, ro, rd, params, rng, bounces)
+        col, i_exit = path_trace(map_fn, bounds_fn, gather_mat, ro, rd, params, rng,
+                                 bounces, normal_fn=normal_fn)
         if debug == 3:
             b = jnp.asarray(bounces, jnp.float32)
             col = Vec3.splat(i_exit.astype(jnp.float32) / b)
     elif debug == 1:
-        col = normals_debug(map_fn, bounds_fn, ro, rd, params)
+        col = normals_debug(map_fn, bounds_fn, ro, rd, params, normal_fn=normal_fn)
     elif debug == 2:
         col = colors_debug(map_fn, bounds_fn, gather_mat, ro, rd, params)
     else:
@@ -361,7 +422,7 @@ def render_pixels(
     return col
 
 
-@partial(jax.jit, static_argnames=("spec", "width", "height", "debug"))
+@partial(jax.jit, static_argnames=("spec", "width", "height", "debug", "geometry", "normals"))
 def _render_frame_impl(
     spec: SceneSpec,
     params,
@@ -375,12 +436,14 @@ def _render_frame_impl(
     width: int,
     height: int,
     debug: int,
+    geometry: str = "faithful",
+    normals: str = "central",
 ):
     xs = lax.broadcasted_iota(jnp.int32, (height, width), 1)
     ys = lax.broadcasted_iota(jnp.int32, (height, width), 0)
     col = render_pixels(
         spec, params, xs, ys, frame, bounces, fov, aspect,
-        width=width, height=height, debug=debug,
+        width=width, height=height, debug=debug, geometry=geometry, normals=normals,
     )
     img = col.stack()
     if debug != 0:
@@ -404,6 +467,8 @@ def render_frame(
     bounces: int = DEFAULT_BOUNCES,
     fov: float = DEFAULT_FOV,
     aspect: float = None,
+    geometry: str = "faithful",
+    normals: str = "central",
 ):
     """Render one frame; returns the (H, W, 3) linear-HDR image/accumulator.
 
@@ -427,6 +492,8 @@ def render_frame(
         width=width,
         height=height,
         debug=debug,
+        geometry=geometry,
+        normals=normals,
     )
 
 

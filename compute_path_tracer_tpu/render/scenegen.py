@@ -252,17 +252,24 @@ def make_map_culled(spec: SceneSpec):
     return map_fn
 
 
-def make_bounds(spec: SceneSpec):
+def make_bounds(spec: SceneSpec, with_t: bool = False):
     """Build ``bounds(ro, rd, pv) -> (checks, debug)``.
 
     ``checks`` is a tuple with one entry per shape id: a boolean hit array
     for AABB-enabled shapes, or ``None`` for shapes whose guard is compiled
     to ``if (true)`` (data_structures.rs:57-66).  ``debug`` accumulates 0.1
     per AABB hit like the reference's cube_debug (containers.rs:451-458).
+
+    ``with_t=True`` returns ``(checks, tns, tfs, debug)`` where ``tns``/
+    ``tfs`` are the per-shape slab-test entry/exit distances (garbage on
+    missed lanes - mask with ``checks``), feeding the megakernel's per-step
+    t-interval culling.
     """
 
     def bounds_fn(ro: Vec3, rd: Vec3, pv):
         checks: list = [None] * spec.n_shapes
+        tns: list = [None] * spec.n_shapes
+        tfs: list = [None] * spec.n_shapes
         dbg = [jnp.zeros_like(ro.x)]
 
         def walk(us: UnionSpec, pos_trail: Vec3, scale_trail):
@@ -284,12 +291,16 @@ def make_bounds(spec: SceneSpec):
                 tn, tf = intersect_aabb(ro, rd, center - half, center + half)
                 hit = aabb_hit(tn, tf)
                 checks[ss.shape_id] = hit
+                tns[ss.shape_id] = tn
+                tfs[ss.shape_id] = tf
                 dbg[0] = dbg[0] + 0.1 * hit.astype(dbg[0].dtype)
 
         zero = jnp.zeros((), dtype=jnp.float32)
         one = jnp.ones((), dtype=jnp.float32)
         for root in spec.roots:
             walk(root, Vec3.splat(zero), one)
+        if with_t:
+            return tuple(checks), tuple(tns), tuple(tfs), dbg[0]
         return tuple(checks), dbg[0]
 
     return bounds_fn
