@@ -118,7 +118,7 @@ def _interval_scalars(checks, tns, tfs):
     return tuple(out)
 
 
-def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals):
+def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None):
     """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -146,8 +146,10 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals):
     exact because active shapes use the same fold.
     """
     t0 = ro.x * 0.0
-    done0 = t0.astype(jnp.int32)
-    idx0 = done0 - 1
+    # Lanes already dead in the bounce loop start the march done: their
+    # frozen rays must neither extend the while_loop nor widen the t-front.
+    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
+    idx0 = (t0.astype(jnp.int32)) - 1
 
     def cond(c):
         step, _t, _idx, done_i = c
@@ -185,17 +187,20 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals):
     return t, idx
 
 
-def _march_while(map_fn, ro, rd, pv, checks):
+def _march_while(map_fn, ro, rd, pv, checks, alive=None):
     """Sphere march with tile-uniform early exit.
 
     Identical lane semantics to render/reference.py:cast_ray (same masking,
     same |d| < MHD / far-plane conditions); the while_loop additionally stops
     as soon as EVERY lane in the tile is done, which is where most of the
-    80-step budget is saved (sky tiles exit in a few steps).
+    80-step budget is saved (sky tiles exit in a few steps).  ``alive`` marks
+    lanes still live in the bounce loop: dead lanes start done so the
+    early-exit fires as soon as the surviving lanes finish (their t/idx
+    outputs are discarded by the caller's masks).
     """
     t0 = ro.x * 0.0
-    done0 = t0.astype(jnp.int32)
-    idx0 = done0 - 1
+    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
+    idx0 = t0.astype(jnp.int32) - 1
 
     def cond(c):
         step, _t, _idx, done_i = c
@@ -246,20 +251,28 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
         i, rng, ro, rd, ret, thr, alive_i, i_exit = c
         alive = alive_i != 0
 
+        # Mask the per-lane AABB hits by bounce-loop liveness BEFORE deriving
+        # the tile-uniform predicates: a shape whose box only dead lanes'
+        # frozen rays hit must not keep its map block active.  Alive lanes'
+        # guards are unchanged, so live results are bit-identical (a shape a
+        # live lane's box-test misses was per-lane-masked for it anyway).
         if t_cull:
             checks, tns, tfs, _dbg = bounds_fn(ro, rd, pv)
-            ivals = _interval_scalars(checks, tns, tfs)
         else:
             checks, _dbg = bounds_fn(ro, rd, pv)
+        checks = tuple(None if c_ is None else c_ & alive for c_ in checks)
+        if t_cull:
+            ivals = _interval_scalars(checks, tns, tfs)
         anyhit = _anyhit(checks)
 
         def map_fn(p, pv_, checks_):
             return map_culled(p, pv_, checks_, anyhit)
 
         if t_cull:
-            t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals)
+            t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals,
+                                        alive=alive)
         else:
-            t, idx = _march_while(map_fn, ro, rd, pv, checks)
+            t, idx = _march_while(map_fn, ro, rd, pv, checks, alive=alive)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
