@@ -35,8 +35,14 @@ def main():
 
     # Leaf-baked geometry (render/baked.py): same images as the faithful
     # transform-chain map up to fp rounding (tests/test_baked.py), ~2.5x
-    # faster on v5e; the XLA fallback accepts the same kwarg.
+    # faster on v5e; the XLA fallback accepts the same kwarg.  t-interval
+    # culling (kernels/megakernel.py:_march_while_tcull) is an eps-level
+    # approximation (<0.1% of pixels, tests/test_baked.py:test_tcull_*)
+    # worth ~12% of frame time; dropped again if we fall back to XLA.
     geometry = "baked"
+    kernel_kw = {"geometry": geometry}
+    if backend == "pallas":
+        kernel_kw["t_cull"] = True
 
     def run(n_frames, accum, frame0):
         for f in range(n_frames):
@@ -50,7 +56,7 @@ def main():
                 height=HEIGHT,
                 debug=0,
                 bounces=BOUNCES,
-                geometry=geometry,
+                **kernel_kw,
             )
         # Force completion with a device-to-host copy: on the axon platform
         # block_until_ready can return before queued work executes, which
@@ -68,6 +74,7 @@ def main():
             from compute_path_tracer_tpu.render import render_frame as frame_fn_xla
             frame_fn = frame_fn_xla  # noqa: F841
             backend = "xla-fallback"
+            kernel_kw.pop("t_cull", None)
             accum = run(WARMUP_FRAMES, None, 0)
             t0 = time.perf_counter()
             accum = run(TIMED_FRAMES, accum, WARMUP_FRAMES)
