@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, STEPS
 from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
-from ..render.baked import bake, make_bounds_baked, make_map_baked
+from ..render.baked import bake, baked_box_offsets, make_bounds_baked, make_map_baked
 from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
 from ..render.scenegen import make_bounds, make_map, make_map_culled, material_slot_matrix
 from ..scene.compile import SceneSpec
@@ -118,7 +118,8 @@ def _interval_scalars(checks, tns, tfs):
     return tuple(out)
 
 
-def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None):
+def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None,
+                       box_offs=None, p_margin=0.05):
     """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -137,6 +138,20 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None):
       overshoot past a box ENTRY - not past a surface, which lies deeper);
     * passed   - box fully behind every live lane - excluded outright (a
       convex box's ray interval cannot be re-entered going forward).
+
+    POSITION-BBOX culling (``box_offs`` not None, requires baked geometry):
+    t-intervals are useless for secondary bounces - scattered directions make
+    every live shape's [tn, tf] overlap the tile front - but the live lanes'
+    POSITIONS stay clustered (a tile's primary hit points are a small surface
+    patch).  Per step the live positions are reduced to a bounding box (six
+    masked min/max, same cost class as the t-front) and each shape's baked
+    world AABB (six SMEM scalars at ``box_offs[shape_id]``) is tested against
+    it in scalar space: the per-axis gap's L-inf norm ``g_i`` lower-bounds
+    every live lane's distance to the box, so a shape with ``g_i > p_margin``
+    is excluded and ``g_i`` clamps the step exactly like a pending entry
+    (``step = min(|d|, max(min(m - t, g), MHD))``).  The margin keeps the
+    clamp from degenerating into an MHD crawl toward a nearly-touching box:
+    excluded shapes sit > p_margin away, so clamped steps are >= p_margin.
 
     Divergence from the per-ray-guard reference semantics (test_compute.glsl
     :74-89 with the generated check[] guards): excluded shapes do not
@@ -161,21 +176,46 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None):
         t_hi = jnp.max(jnp.where(done, -_BIG, t))
         t_lo = jnp.min(jnp.where(done, _BIG, t))
 
+        p = ro + rd * t
+        if box_offs is not None:
+            px_lo = jnp.min(jnp.where(done, _BIG, p.x))
+            px_hi = jnp.max(jnp.where(done, -_BIG, p.x))
+            py_lo = jnp.min(jnp.where(done, _BIG, p.y))
+            py_hi = jnp.max(jnp.where(done, -_BIG, p.y))
+            pz_lo = jnp.min(jnp.where(done, _BIG, p.z))
+            pz_hi = jnp.max(jnp.where(done, -_BIG, p.z))
+
         active = []
         m = jnp.float32(_BIG)
-        for iv in ivals:
+        g = jnp.float32(_BIG)
+        for si, iv in enumerate(ivals):
             if iv is None:
                 active.append(None)
                 continue
             any_h, tn_min, tf_max = iv
             not_reached = tn_min > t_hi
-            active.append(any_h & ~not_reached & (tf_max >= t_lo))
+            act = any_h & ~not_reached & (tf_max >= t_lo)
+            if box_offs is not None and box_offs[si] is not None:
+                o = box_offs[si]
+                zero = jnp.float32(0.0)
+                gap = jnp.maximum(
+                    jnp.maximum(
+                        jnp.maximum(pv[o] - px_hi, px_lo - pv[o + 3]),
+                        jnp.maximum(pv[o + 1] - py_hi, py_lo - pv[o + 4]),
+                    ),
+                    jnp.maximum(
+                        jnp.maximum(pv[o + 2] - pz_hi, pz_lo - pv[o + 5]), zero
+                    ),
+                )
+                near = gap <= p_margin
+                act = act & near
+                g = jnp.where(any_h & ~near, jnp.minimum(g, gap), g)
+            active.append(act)
             m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
 
-        p = ro + rd * t
         d, mi = map_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
-        step_len = jnp.minimum(ad, jnp.maximum(m - t, MHD))
+        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g), MHD))
         nt = jnp.where(done, t, t + step_len)
         nidx = jnp.where(done, idx, mi)
         far = nt > FP
@@ -224,7 +264,7 @@ def _march_while(map_fn, ro, rd, pv, checks, alive=None):
 
 
 def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
-                     normal_fn=calc_normal, t_cull=False):
+                     normal_fn=calc_normal, t_cull=False, box_offs=None):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -270,7 +310,7 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
 
         if t_cull:
             t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals,
-                                        alive=alive)
+                                        alive=alive, box_offs=box_offs)
         else:
             t, idx = _march_while(map_fn, ro, rd, pv, checks, alive=alive)
 
@@ -309,7 +349,7 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int, sub_rows: int,
                  geometry: str = "faithful", normals: str = "central",
-                 t_cull: bool = False):
+                 t_cull: bool = False, p_cull: bool = False):
     """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
     independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
 
@@ -332,6 +372,9 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     else:
         map_culled = make_map_culled(spec)
         bounds_fn = make_bounds(spec, with_t=t_cull)
+    if p_cull and not (baked and t_cull):
+        raise ValueError("p_cull requires geometry='baked' and t_cull=True")
+    box_offs = baked_box_offsets(spec) if p_cull else None
     if normals == "autodiff":
         # Mosaic cannot yet compile the transpose of the anyhit lax.cond
         # skips, so the (~2-tap) AD normal differentiates the PLAIN per-lane
@@ -384,7 +427,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
             if debug in (0, 3):
                 col, i_exit = _path_trace_tile(
                     map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
-                    normal_fn=normal_fn, t_cull=t_cull,
+                    normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
                 )
                 if debug == 3:
                     col = Vec3.splat(
@@ -402,7 +445,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     return map_culled(p, pv_, checks_, anyhit)
 
                 if t_cull:
-                    t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals)
+                    t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks,
+                                                ivals, box_offs=box_offs)
                 else:
                     t, idx = _march_while(map_fn, ro, rd, pv, checks)
                 if debug == 1:
@@ -438,7 +482,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     jax.jit,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows",
-        "geometry", "normals", "t_cull", "interpret",
+        "geometry", "normals", "t_cull", "p_cull", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -460,6 +504,7 @@ def _pallas_frame_planes(
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
+    p_cull: bool = False,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -478,7 +523,7 @@ def _pallas_frame_planes(
     )
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows,
-                          geometry, normals, t_cull)
+                          geometry, normals, t_cull, p_cull)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -530,6 +575,7 @@ def render_frame_pallas(
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
+    p_cull: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -568,6 +614,7 @@ def render_frame_pallas(
         geometry=geometry,
         normals=normals,
         t_cull=t_cull,
+        p_cull=p_cull,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))
@@ -576,12 +623,13 @@ def render_frame_pallas(
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w",
-                     "geometry", "normals", "t_cull", "interpret"),
+                     "geometry", "normals", "t_cull", "p_cull", "interpret"),
 )
 def _accumulate_pallas_impl(
     spec, params, bounces, fov, aspect,
     *, width, height, n_frames, tile_h, tile_w,
-    geometry="faithful", normals="central", t_cull=False, interpret=False,
+    geometry="faithful", normals="central", t_cull=False, p_cull=False,
+    interpret=False,
 ):
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -592,7 +640,8 @@ def _accumulate_pallas_impl(
             spec, params, accum, f, f, bounces, fov, aspect,
             width=width, height=height, debug=0,
             tile_h=tile_h, tile_w=tile_w,
-            geometry=geometry, normals=normals, t_cull=t_cull, interpret=interpret,
+            geometry=geometry, normals=normals, t_cull=t_cull, p_cull=p_cull,
+            interpret=interpret,
         )
 
     out = lax.fori_loop(0, n_frames, body, accum0)
@@ -613,6 +662,7 @@ def render_accumulated_pallas(
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
+    p_cull: bool = False,
     interpret: bool = False,
 ):
     """Fused multi-frame progressive accumulation: the accumulator stays
@@ -634,5 +684,6 @@ def render_accumulated_pallas(
         geometry=geometry,
         normals=normals,
         t_cull=t_cull,
+        p_cull=p_cull,
         interpret=interpret,
     )

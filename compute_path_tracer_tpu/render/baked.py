@@ -110,6 +110,7 @@ class BakedShape:
     shape_id: int
     off: int           # geometry slots
     aabb_off: int      # 6 box slots, or -1 when the guard is `if (true)`
+    cull_off: int      # 6 slots: CONSERVATIVE enclosing world box, or -1
     aabb: bool
 
 
@@ -146,9 +147,12 @@ def baked_layout(spec: SceneSpec) -> BakedLayout:
     def walk_shape(ss: ShapeSpec) -> BakedShape:
         off = take(_GEOM_SLOTS[ss.kind])
         aabb_off = take(6) if ss.transform.aabb else -1
+        cull_off = (
+            take(6) if ss.transform.aabb and ss.kind != KIND_PLANE else -1
+        )
         return BakedShape(
             kind=ss.kind, shape_id=ss.shape_id, off=off,
-            aabb_off=aabb_off, aabb=ss.transform.aabb,
+            aabb_off=aabb_off, cull_off=cull_off, aabb=ss.transform.aabb,
         )
 
     def walk_union(us: UnionSpec) -> BakedUnion:
@@ -213,6 +217,33 @@ def bake(spec: SceneSpec, pv) -> jnp.ndarray:
             emit(bs.off, (*Mw, *bw, pv[ss.size[0]] * Sf))
         else:
             raise ValueError(f"unknown shape kind {ss.kind}")
+        if bs.cull_off >= 0:
+            # Conservative ENCLOSING world box for march-step culling.  The
+            # reference-faithful trail box below ignores rotation (the shape
+            # can protrude), so it must never be used to clamp march steps -
+            # only for the per-lane check[] semantics.  The true shape is the
+            # image of the local box [-h, h] under the inverse of q = Mw p +
+            # bw with Mw orthogonal (uniform scales): center -Mw^T bw,
+            # half-extent_i = sum_j |Mw[j,i]| h_j.
+            cc = tuple(-e for e in _mat_t_vec(Mw, bw))
+            if ss.kind == KIND_SPHERE:
+                # Rotation-invariant: the exact box is center +- world radius.
+                rw = pv[ss.size[0]] * Sf
+                he = (rw, rw, rw)
+            else:
+                if ss.kind == KIND_CUBE:
+                    hloc = (pv[ss.size[0]] * Sf, pv[ss.size[1]] * Sf,
+                            pv[ss.size[2]] * Sf)
+                else:  # octahedron: {|x|+|y|+|z| <= s} fits in [-s, s]^3
+                    hloc = (pv[ss.size[0]] * Sf,) * 3
+                he = tuple(
+                    abs(Mw[3 * 0 + i]) * hloc[0]
+                    + abs(Mw[3 * 1 + i]) * hloc[1]
+                    + abs(Mw[3 * 2 + i]) * hloc[2]
+                    for i in range(3)
+                )
+            emit(bs.cull_off, (cc[0] - he[0], cc[1] - he[1], cc[2] - he[2],
+                               cc[0] + he[0], cc[1] + he[1], cc[2] + he[2]))
         if bs.aabb:
             # Reference AABB trails: positions summed unrotated, scales
             # multiplied (containers.rs:181-202, data_structures.rs:68-92).
@@ -397,6 +428,29 @@ def make_map_baked(spec: SceneSpec):
         return d, i
 
     return map_fn
+
+
+def baked_box_offsets(spec: SceneSpec):
+    """Static per-shape-id bv offsets of the CONSERVATIVE enclosing world
+    boxes (None for shapes whose guard is `if (true)` or with no finite
+    enclosing box).  The megakernel's position-bbox march cull reads the 6
+    box scalars straight from SMEM at these offsets.  These are NOT the
+    reference-faithful trail boxes (those ignore rotation and the shape can
+    protrude through them - unsafe as a step clamp); they are the baked
+    ``cull_off`` boxes, guaranteed to contain the shape's surface."""
+    layout = baked_layout(spec)
+    offs: list = [None] * layout.n_shapes
+
+    def walk(bu: BakedUnion):
+        for cu in bu.children_unions:
+            walk(cu)
+        for bs in bu.children_shapes:
+            if bs.cull_off >= 0:
+                offs[bs.shape_id] = bs.cull_off
+
+    for broot in layout.roots:
+        walk(broot)
+    return tuple(offs)
 
 
 def make_bounds_baked(spec: SceneSpec, with_t: bool = False):
