@@ -122,6 +122,39 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Two-speed live-editing demo: watch a scene JSON and re-render on save,
+    printing refresh-vs-recompile cost (the reference's live editor loop,
+    sdf_editor.rs:35-47, headless)."""
+    from ..app.config import Settings
+    from ..app.demo import watch_scene
+    from ..render.session import RenderSession
+    from ..scene.io import load_scene, save_scene
+
+    if not os.path.exists(args.scene):
+        # Seed the watch file from a builtin so there's something to edit.
+        seed = _load_scene(args.seed)
+        save_scene(seed, args.scene)
+        print(f"seeded {args.scene} from builtin '{args.seed}' - edit it and save")
+    scene = load_scene(args.scene)
+    settings = Settings(debug=args.debug, bounces=args.bounces).validate()
+    frame_fn = None
+    if args.backend == "pallas":
+        from ..kernels import render_frame_pallas
+
+        frame_fn = render_frame_pallas
+    sess = RenderSession(scene, args.width, args.height, settings, frame_fn=frame_fn)
+    print(f"watching {args.scene} (ctrl-c to stop); renders -> {args.out}")
+    try:
+        watch_scene(
+            sess, args.scene, frames=args.frames, out=args.out,
+            max_events=args.max_events,
+        )
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -163,6 +196,22 @@ def main(argv=None) -> int:
     o.add_argument("--lr", type=float, default=2e-2)
     o.add_argument("--perturb", type=float, default=0.05)
     o.set_defaults(fn=cmd_optimize)
+
+    d = sub.add_parser(
+        "demo", help="watch a scene JSON; re-render on save (two-speed edits)"
+    )
+    d.add_argument("--scene", default="data/maps/live.json", help="JSON to watch")
+    d.add_argument("--seed", default="csg_demo", help="builtin to seed the file from")
+    d.add_argument("--width", type=int, default=256)
+    d.add_argument("--height", type=int, default=256)
+    d.add_argument("--frames", type=int, default=4)
+    d.add_argument("--bounces", type=int, default=4)
+    d.add_argument("--debug", type=int, default=0, choices=(0, 1, 2, 3))
+    d.add_argument("--backend", default="xla", choices=("xla", "pallas"))
+    d.add_argument("--out", default="live.png")
+    d.add_argument("--max-events", type=int, default=None,
+                   help="stop after N edits (default: run until ctrl-c)")
+    d.set_defaults(fn=cmd_demo)
 
     i = sub.add_parser("info", help="device / topology info")
     i.set_defaults(fn=cmd_info)

@@ -25,6 +25,9 @@ class Settings:
     fov: z component of the un-normalized ray direction (0..=5)
     """
 
+    # Default 1 (normals view) is reference-faithful (path_tracer.rs:159);
+    # the CLI explicitly overrides to 0 (full path trace) since a headless
+    # render's product is the image, not the live debug view.
     debug: int = 1
     bounces: int = DEFAULT_BOUNCES
     scale: float = 1.0

@@ -33,11 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP, MHD, STEPS
+from ..ops.aabb import aabb_hit, intersect_aabb
 from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
-from ..render.baked import bake, baked_box_offsets, make_bounds_baked, make_map_baked
+from ..render.baked import (
+    bake,
+    baked_box_offsets,
+    baked_clusters,
+    make_bounds_baked,
+    make_map_baked,
+    make_map_baked_d,
+    make_map_baked_d_clustered,
+)
 from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
-from ..render.scenegen import make_bounds, make_map, make_map_culled, material_slot_matrix
+from ..render.scenegen import (
+    make_bounds,
+    make_map_culled,
+    make_map_culled_d,
+    material_slot_matrix,
+)
 from ..scene.compile import SceneSpec
 from ..vecmath import Vec3, vwhere
 
@@ -118,9 +132,71 @@ def _interval_scalars(checks, tns, tfs):
     return tuple(out)
 
 
-def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None,
-                       box_offs=None, p_margin=0.05):
-    """Sphere march with PER-STEP t-interval shape culling.
+def _gap_scalars(pv, box_offs, ro, alive):
+    """Per-bounce, per-shape scalar distance lower bounds for position-hull
+    culling.
+
+    Reduces the ALIVE lanes' segment-start positions (the bounce's ray
+    origins - a compact surface patch for a pixel tile) to an axis-aligned
+    hull ONCE per bounce, then measures the L-inf gap from that hull to each
+    shape's conservative enclosing world box (six SMEM scalars at
+    ``box_offs[shape_id]``).  Any live lane that has marched distance t from
+    its origin is therefore at least ``gap_i - t`` away from shape i's box -
+    the invariant :func:`_march_while_tcull` uses both to exclude the shape
+    from the map and to clamp step lengths so no lane can enter an
+    unevaluated box.  Unlike the per-STEP position-bbox reduction this costs
+    six masked reductions + O(shapes) scalar ops per BOUNCE, and activation
+    is monotone in the march front t_hi (a box activates tile-wide the moment
+    any lane could reach it), so clamped steps never crawl below p_margin.
+    """
+    if alive is None:
+        dead = jnp.zeros_like(ro.x, jnp.bool_)
+    else:
+        dead = ~alive
+    x_lo = jnp.min(jnp.where(dead, _BIG, ro.x))
+    x_hi = jnp.max(jnp.where(dead, -_BIG, ro.x))
+    y_lo = jnp.min(jnp.where(dead, _BIG, ro.y))
+    y_hi = jnp.max(jnp.where(dead, -_BIG, ro.y))
+    z_lo = jnp.min(jnp.where(dead, _BIG, ro.z))
+    z_hi = jnp.max(jnp.where(dead, -_BIG, ro.z))
+    zero = jnp.float32(0.0)
+    gaps = []
+    for o in box_offs:
+        if o is None:
+            gaps.append(None)
+            continue
+        gaps.append(
+            jnp.maximum(
+                jnp.maximum(
+                    jnp.maximum(pv[o] - x_hi, x_lo - pv[o + 3]),
+                    jnp.maximum(pv[o + 1] - y_hi, y_lo - pv[o + 4]),
+                ),
+                jnp.maximum(
+                    jnp.maximum(pv[o + 2] - z_hi, z_lo - pv[o + 5]), zero
+                ),
+            )
+        )
+    return tuple(gaps)
+
+
+def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
+    """Recover the winning shape id with ONE full-map re-tap at the last
+    marched position.
+
+    The march itself carries only (t, t_prev): cast_ray's winning id
+    (reference.py:112-123) is the id of the map tap that triggered the stop,
+    i.e. the tap at ``t_prev`` - re-evaluating there with the id-tracking map
+    reproduces it exactly while the 80-step hot loop runs the distance-only
+    fold with zero int32 selects.  Far lanes override to -1 (MDEF), matching
+    the oracle's in-loop far test (final t > FP iff that test ever fired).
+    """
+    _d, mi = map_ids(ro + rd * t_prev, pv, checks, anyhit)
+    return jnp.where(t > FP, -1, mi)
+
+
+def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, tns, alive=None,
+                       gaps=None, p_margin=0.05, with_stats=False):
+    """Sphere march with PER-STEP t-interval + position-hull shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
     anywhere?"; this march additionally asks "...at the t-range the tile is
@@ -139,19 +215,18 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None,
     * passed   - box fully behind every live lane - excluded outright (a
       convex box's ray interval cannot be re-entered going forward).
 
-    POSITION-BBOX culling (``box_offs`` not None, requires baked geometry):
-    t-intervals are useless for secondary bounces - scattered directions make
-    every live shape's [tn, tf] overlap the tile front - but the live lanes'
-    POSITIONS stay clustered (a tile's primary hit points are a small surface
-    patch).  Per step the live positions are reduced to a bounding box (six
-    masked min/max, same cost class as the t-front) and each shape's baked
-    world AABB (six SMEM scalars at ``box_offs[shape_id]``) is tested against
-    it in scalar space: the per-axis gap's L-inf norm ``g_i`` lower-bounds
-    every live lane's distance to the box, so a shape with ``g_i > p_margin``
-    is excluded and ``g_i`` clamps the step exactly like a pending entry
-    (``step = min(|d|, max(min(m - t, g), MHD))``).  The margin keeps the
-    clamp from degenerating into an MHD crawl toward a nearly-touching box:
-    excluded shapes sit > p_margin away, so clamped steps are >= p_margin.
+    POSITION-HULL culling (``gaps`` from :func:`_gap_scalars`, baked geometry
+    only): t-intervals are useless for secondary bounces - scattered
+    directions make every live shape's [tn, tf] overlap the tile front - but
+    the segment ORIGINS stay clustered (a tile's hit points are a small
+    surface patch).  Shape i is additionally excluded while
+    ``gap_i > t_hi + p_margin``: no lane that has marched at most t_hi from
+    the origin hull can be within p_margin of its box.  Excluded boxes clamp
+    the step via the same invariant (lane-to-box distance >= gap_i - t), and
+    because activation compares against the GROWING march front, a clamped
+    live lane always has gap - t > p_margin: steps toward an excluded box
+    never crawl below the margin, and the box activates tile-wide the moment
+    any lane could touch it.
 
     Divergence from the per-ray-guard reference semantics (test_compute.glsl
     :74-89 with the generated check[] guards): excluded shapes do not
@@ -159,35 +234,27 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None,
     passing within MHD (1e-3) of a surface near a box boundary - an
     eps-level edge effect measured at <0.1% of pixels; everything else is
     exact because active shapes use the same fold.
+
+    Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
     """
     t0 = ro.x * 0.0
     # Lanes already dead in the bounce loop start the march done: their
     # frozen rays must neither extend the while_loop nor widen the t-front.
     done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
-    idx0 = (t0.astype(jnp.int32)) - 1
 
     def cond(c):
-        step, _t, _idx, done_i = c
+        step, _t, _tp, done_i, _act = c
         return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
 
     def body(c):
-        step, t, idx, done_i = c
+        step, t, tp, done_i, actacc = c
         done = done_i != 0
         t_hi = jnp.max(jnp.where(done, -_BIG, t))
         t_lo = jnp.min(jnp.where(done, _BIG, t))
 
-        p = ro + rd * t
-        if box_offs is not None:
-            px_lo = jnp.min(jnp.where(done, _BIG, p.x))
-            px_hi = jnp.max(jnp.where(done, -_BIG, p.x))
-            py_lo = jnp.min(jnp.where(done, _BIG, p.y))
-            py_hi = jnp.max(jnp.where(done, -_BIG, p.y))
-            pz_lo = jnp.min(jnp.where(done, _BIG, p.z))
-            pz_hi = jnp.max(jnp.where(done, -_BIG, p.z))
-
         active = []
-        m = jnp.float32(_BIG)
-        g = jnp.float32(_BIG)
+        m = jnp.float32(_BIG)  # nearest pending t-interval entry
+        g = jnp.float32(_BIG)  # nearest hull-excluded box gap
         for si, iv in enumerate(ivals):
             if iv is None:
                 active.append(None)
@@ -195,39 +262,127 @@ def _march_while_tcull(map_culled, ro, rd, pv, checks, ivals, alive=None,
             any_h, tn_min, tf_max = iv
             not_reached = tn_min > t_hi
             act = any_h & ~not_reached & (tf_max >= t_lo)
-            if box_offs is not None and box_offs[si] is not None:
-                o = box_offs[si]
-                zero = jnp.float32(0.0)
-                gap = jnp.maximum(
-                    jnp.maximum(
-                        jnp.maximum(pv[o] - px_hi, px_lo - pv[o + 3]),
-                        jnp.maximum(pv[o + 1] - py_hi, py_lo - pv[o + 4]),
-                    ),
-                    jnp.maximum(
-                        jnp.maximum(pv[o + 2] - pz_hi, pz_lo - pv[o + 5]), zero
-                    ),
-                )
-                near = gap <= p_margin
+            if gaps is not None and gaps[si] is not None:
+                near = gaps[si] <= t_hi + p_margin
                 act = act & near
-                g = jnp.where(any_h & ~near, jnp.minimum(g, gap), g)
+                g = jnp.where(any_h & ~near, jnp.minimum(g, gaps[si]), g)
             active.append(act)
             m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
 
-        d, mi = map_culled(p, pv, checks, tuple(active))
+        if with_stats:
+            for act in active:
+                if act is not None:
+                    actacc = actacc + act.astype(jnp.float32)
+
+        p = ro + rd * t
+        d = map_d_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
-        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g), MHD))
+        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g - t), MHD))
         nt = jnp.where(done, t, t + step_len)
-        nidx = jnp.where(done, idx, mi)
-        far = nt > FP
-        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
-        ndone = done | (ad < MHD) | far
-        return step + 1, nt, nidx, ndone.astype(jnp.int32)
+        ntp = jnp.where(done, tp, t)
+        ndone = done | (ad < MHD) | (nt > FP)
+        return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
 
-    _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))
-    return t, idx
+    steps, t, tp, _, actacc = lax.while_loop(
+        cond, body, (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
+    )
+    if with_stats:
+        return t, tp, steps, actacc
+    return t, tp
 
 
-def _march_while(map_fn, ro, rd, pv, checks, alive=None):
+def _march_while_ccull(map_cl_d, ro, rd, pv, checks, ivals_u, c_ivals, c_hit,
+                       c_tn, c_sizes, alive=None, with_stats=False):
+    """Sphere march with CLUSTER-granular culling and per-lane entry clamps.
+
+    benchmarks/diagnose.py showed the march's cost is dominated by per-step
+    FIXED overhead - one lax.cond dispatch and one scalar predicate chain per
+    boxed shape per step - not by the shape math itself (mean tile-active
+    shapes is ~12 of 64).  This march cuts that fixed cost to O(clusters):
+
+    * per cluster (a contiguous run of <= CLUSTER_SIZE boxed siblings,
+      render/baked.py), ONE tile-uniform active scalar gates the whole run's
+      map block; members fold unconditionally under their per-lane check[]
+      guards inside the branch;
+    * the step clamp against unevaluated geometry is per-LANE: each lane
+      clamps at ITS OWN ray's entry into an inactive cluster's box
+      (``c_tn > t``), not at the tile-global nearest pending entry - with
+      only O(clusters) VMEM planes this is affordable and removes the
+      lockstep creep that burned the 80-step budget on tiles with many
+      staggered boxes;
+    * unclustered boxed shapes (scenes below CLUSTER_MIN, or runs broken by
+      unboxed siblings) keep the per-shape t-interval scalars (``ivals_u``)
+      and the tile-scalar pending clamp, exactly as _march_while_tcull.
+
+    Same correctness invariant as _march_while_tcull: a cluster is only
+    inactive while no live lane's t-front overlaps its box interval, and the
+    clamp keeps every lane out of inactive boxes, so excluded geometry can
+    never be marched through (the |d| < MHD eps caveat is shared).
+
+    Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
+    """
+    t0 = ro.x * 0.0
+    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
+
+    def cond(c):
+        step, _t, _tp, done_i, _act = c
+        return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
+
+    def body(c):
+        step, t, tp, done_i, actacc = c
+        done = done_i != 0
+        t_hi = jnp.max(jnp.where(done, -_BIG, t))
+        t_lo = jnp.min(jnp.where(done, _BIG, t))
+
+        m_lane = jnp.full_like(ro.x, _BIG)
+        cact = []
+        for ci, (any_h, tn_min, tf_max) in enumerate(c_ivals):
+            nr = tn_min > t_hi
+            a = any_h & ~nr & (tf_max >= t_lo)
+            cact.append(a)
+            pend = c_hit[ci] & (c_tn[ci] > t)
+            m_lane = jnp.where(
+                jnp.logical_and(~a, pend), jnp.minimum(m_lane, c_tn[ci]), m_lane
+            )
+
+        sact = []
+        m = jnp.float32(_BIG)
+        for iv in ivals_u:
+            if iv is None:
+                sact.append(None)
+                continue
+            any_h, tn_min, tf_max = iv
+            nr = tn_min > t_hi
+            sact.append(any_h & ~nr & (tf_max >= t_lo))
+            m = jnp.where(any_h & nr, jnp.minimum(m, tn_min), m)
+
+        if with_stats:
+            for a, size in zip(cact, c_sizes):
+                actacc = actacc + a.astype(jnp.float32) * float(size)
+            for a in sact:
+                if a is not None:
+                    actacc = actacc + a.astype(jnp.float32)
+
+        p = ro + rd * t
+        d = map_cl_d(p, pv, checks, tuple(sact), tuple(cact))
+        ad = jnp.abs(d)
+        step_len = jnp.minimum(
+            ad, jnp.maximum(jnp.minimum(m - t, m_lane - t), MHD)
+        )
+        nt = jnp.where(done, t, t + step_len)
+        ntp = jnp.where(done, tp, t)
+        ndone = done | (ad < MHD) | (nt > FP)
+        return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
+
+    steps, t, tp, _, actacc = lax.while_loop(
+        cond, body, (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
+    )
+    if with_stats:
+        return t, tp, steps, actacc
+    return t, tp
+
+
+def _march_while(map_d_fn, ro, rd, pv, checks, alive=None):
     """Sphere march with tile-uniform early exit.
 
     Identical lane semantics to render/reference.py:cast_ray (same masking,
@@ -235,41 +390,45 @@ def _march_while(map_fn, ro, rd, pv, checks, alive=None):
     as soon as EVERY lane in the tile is done, which is where most of the
     80-step budget is saved (sky tiles exit in a few steps).  ``alive`` marks
     lanes still live in the bounce loop: dead lanes start done so the
-    early-exit fires as soon as the surviving lanes finish (their t/idx
+    early-exit fires as soon as the surviving lanes finish (their t/t_prev
     outputs are discarded by the caller's masks).
+
+    The march is distance-only: returns ``(t, t_prev)`` with ``t_prev`` the
+    position of each lane's LAST map tap; :func:`_final_idx` re-taps there to
+    recover cast_ray's winning id without carrying per-step int32 selects.
     """
     t0 = ro.x * 0.0
     done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
-    idx0 = t0.astype(jnp.int32) - 1
 
     def cond(c):
-        step, _t, _idx, done_i = c
+        step, _t, _tp, done_i = c
         return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
 
     def body(c):
-        step, t, idx, done_i = c
+        step, t, tp, done_i = c
         done = done_i != 0
         p = ro + rd * t
-        d, mi = map_fn(p, pv, checks)
+        d = map_d_fn(p, pv, checks)
         ad = jnp.abs(d)  # absolute step: interior-traversable (see cast_ray)
         nt = jnp.where(done, t, t + ad)
-        nidx = jnp.where(done, idx, mi)
-        far = nt > FP
-        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
-        ndone = done | (ad < MHD) | far
-        return step + 1, nt, nidx, ndone.astype(jnp.int32)
+        ntp = jnp.where(done, tp, t)
+        ndone = done | (ad < MHD) | (nt > FP)
+        return step + 1, nt, ntp, ndone.astype(jnp.int32)
 
-    _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))
-    return t, idx
+    _, t, tp, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, t0, done0))
+    return t, tp
 
 
-def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
-                     normal_fn=calc_normal, t_cull=False, box_offs=None):
+def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
+                     pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
+                     box_offs=None, stats=False, cluster_info=None):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
     (plus per-step t-interval culling when ``t_cull``; the normal taps and
-    the material fetch always use the bounce-level sets)."""
+    the material fetch always use the bounce-level sets).  The march and the
+    normal taps run the distance-only map (``map_d_culled``); the id-tracking
+    ``map_culled`` is used once per bounce by :func:`_final_idx`."""
     zero = ro.x * 0.0
     one = zero + 1.0
     init = (
@@ -281,14 +440,17 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
         Vec3(one, one, one),  # throughput
         one.astype(jnp.int32),  # alive
         zero.astype(jnp.int32) - 1,  # i_exit
+        jnp.float32(0.0),  # stats: total march steps (tile scalar)
+        jnp.float32(0.0),  # stats: sum of active-shape counts over steps
+        jnp.float32(0.0),  # stats: aux (normals + final-id) shape-tap count
     )
 
     def cond(c):
-        i, _rng, _ro, _rd, _ret, _thr, alive_i, _i_exit = c
+        i, _rng, _ro, _rd, _ret, _thr, alive_i, _i_exit, _st, _ac, _ax = c
         return jnp.logical_and(i <= bounces, jnp.max(alive_i) > 0)
 
     def body(c):
-        i, rng, ro, rd, ret, thr, alive_i, i_exit = c
+        i, rng, ro, rd, ret, thr, alive_i, i_exit, steps_tot, act_tot, aux_tot = c
         alive = alive_i != 0
 
         # Mask the per-lane AABB hits by bounce-loop liveness BEFORE deriving
@@ -301,55 +463,176 @@ def _path_trace_tile(map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces
         else:
             checks, _dbg = bounds_fn(ro, rd, pv)
         checks = tuple(None if c_ is None else c_ & alive for c_ in checks)
-        if t_cull:
-            ivals = _interval_scalars(checks, tns, tfs)
         anyhit = _anyhit(checks)
 
-        def map_fn(p, pv_, checks_):
-            return map_culled(p, pv_, checks_, anyhit)
+        if cluster_info is not None:
+            cboxes, shape_cluster, c_sizes, map_cl_d = cluster_info
+            # Per-shape interval scalars only for UNCLUSTERED boxed shapes.
+            ivals_u = _interval_scalars(
+                tuple(
+                    c_ if shape_cluster[si] is None else None
+                    for si, c_ in enumerate(checks)
+                ),
+                tns, tfs,
+            )
+            # Per-lane cluster slab tests (O(clusters) planes per bounce).
+            c_hit, c_tn, c_ivals = [], [], []
+            for o in cboxes:
+                lo = Vec3(pv[o], pv[o + 1], pv[o + 2])
+                hi = Vec3(pv[o + 3], pv[o + 4], pv[o + 5])
+                tn, tf = intersect_aabb(ro, rd, lo, hi)
+                hit = aabb_hit(tn, tf) & alive
+                any_h = jnp.max(hit.astype(jnp.int32)) > 0
+                tn_min = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), _BIG))
+                tf_max = jnp.max(jnp.where(hit, tf, -_BIG))
+                c_hit.append(hit)
+                c_tn.append(tn)
+                c_ivals.append((any_h, tn_min, tf_max))
+            c_anyhit = tuple(iv[0] for iv in c_ivals)
+            sact_bounce = tuple(
+                a if (a is not None and shape_cluster[si] is None) else None
+                for si, a in enumerate(anyhit)
+            )
 
-        if t_cull:
-            t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks, ivals,
-                                        alive=alive, box_offs=box_offs)
+            def map_fn(p, pv_, checks_):
+                return map_cl_d(p, pv_, checks_, sact_bounce, c_anyhit), None
+
+            out = _march_while_ccull(
+                map_cl_d, ro, rd, pv, checks, ivals_u, c_ivals, c_hit, c_tn,
+                c_sizes, alive=alive, with_stats=stats,
+            )
+            if stats:
+                t, tp, msteps, mact = out
+                steps_tot = steps_tot + msteps.astype(jnp.float32)
+                act_tot = act_tot + mact
+            else:
+                t, tp = out
         else:
-            t, idx = _march_while(map_fn, ro, rd, pv, checks, alive=alive)
+            def map_fn(p, pv_, checks_):
+                return map_d_culled(p, pv_, checks_, anyhit), None
+
+            if t_cull:
+                ivals = _interval_scalars(checks, tns, tfs)
+                gaps = (_gap_scalars(pv, box_offs, ro, alive)
+                        if box_offs is not None else None)
+                out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
+                                         ivals, tns, alive=alive, gaps=gaps,
+                                         with_stats=stats)
+                if stats:
+                    t, tp, msteps, mact = out
+                    steps_tot = steps_tot + msteps.astype(jnp.float32)
+                    act_tot = act_tot + mact
+                else:
+                    t, tp = out
+            else:
+                def map_d_fn(p, pv_, checks_):
+                    return map_d_culled(p, pv_, checks_, anyhit)
+
+                t, tp = _march_while(map_d_fn, ro, rd, pv, checks, alive=alive)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
         act = alive & ~miss
-
+        any_act = jnp.max(act.astype(jnp.int32)) > 0
         hit_pos = ro + rd * t
-        n = normal_fn(map_fn, hit_pos, pv, checks)
-        mat = gather_mat(idx)
 
-        rng, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
-            rng, rd, hit_pos, n, mat
+        if t_cull and cluster_info is None:
+            # HIT-FRONT actives for the aux taps (6 normal taps + final-id
+            # re-tap): restrict to shapes whose box interval overlaps the
+            # live hit t-range instead of the whole-ray anyhit set - the aux
+            # taps are ~25% of shape evaluations and the hit points span a
+            # far narrower t-window than the march did.  Safe to the same
+            # eps caveat as the march culls: a shape whose box contains a hit
+            # lane's tap point (within MHD of its last march position) has
+            # tn <= t <= tf for that lane, which keeps it active; the MHD
+            # inflation below covers the final-id tap at t_prev in
+            # [t - MHD, t].
+            th_hi = jnp.max(jnp.where(act, t, -_BIG))
+            th_lo = jnp.min(jnp.where(act, t, _BIG)) - MHD
+            hit_act = tuple(
+                None if iv is None else (iv[0] & (iv[1] <= th_hi) & (iv[2] >= th_lo))
+                for iv in ivals
+            )
+
+            def map_fn(p, pv_, checks_):  # noqa: F811 - tighter aux map
+                return map_d_culled(p, pv_, checks_, hit_act), None
+
+            aux_anyhit = hit_act
+        else:
+            aux_anyhit = anyhit
+
+        if stats:
+            n_aux = jnp.float32(0.0)
+            if cluster_info is not None:
+                for a, size in zip(c_anyhit, c_sizes):
+                    n_aux = n_aux + a.astype(jnp.float32) * float(size)
+                aux_set = sact_bounce
+            else:
+                aux_set = aux_anyhit
+            for a in aux_set:
+                n_aux = n_aux + (
+                    jnp.float32(1.0) if a is None else a.astype(jnp.float32)
+                )
+
+        # Tile-uniform skip of the whole post-march block (final-id tap, 6
+        # normal taps, material fetch, shading, RR) when NO lane hit: sky
+        # tiles and late bounces pay only the march.  Bit-identical to the
+        # unconditional path - with act all-false every store is masked and
+        # the bounce loop exits this iteration, so the skipped RNG draws are
+        # never consumed (same argument as the loop's own early exit).
+        def shade_branch(args):
+            rng_, ro_, rd_, ret_, thr_, i_exit_, aux_ = args
+            idx = _final_idx(map_culled, ro_, rd_, pv, checks, aux_anyhit, t, tp)
+            n = normal_fn(map_fn, hit_pos, pv, checks)
+            mat = gather_mat(idx)
+            rng2, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
+                rng_, rd_, hit_pos, n, mat
+            )
+            ro2 = vwhere(act, new_ro, ro_)
+            rd2 = vwhere(act, new_rd, rd_)
+            ret2 = vwhere(act, ret_ + emit * thr_, ret_)
+            new_thr = thr_ * thr_factor / ray_prob
+
+            p_rr = new_thr.max_component()
+            rng3, r_rr = random_float01(rng2)
+            rr_dead = act & (r_rr > p_rr)
+            i_exit2 = jnp.where(rr_dead, i, i_exit_)
+            surv = act & ~rr_dead
+            p_pos = p_rr > 0.0
+            inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
+            thr2 = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr_))
+            if stats:
+                aux_ = aux_ + 7.0 * n_aux  # 6 normal taps + 1 final-id tap
+            return (rng3, ro2, rd2, ret2, thr2,
+                    surv.astype(jnp.int32), i_exit2, aux_)
+
+        def skip_branch(args):
+            rng_, ro_, rd_, ret_, thr_, i_exit_, aux_ = args
+            return (rng_, ro_, rd_, ret_, thr_, jnp.zeros_like(alive_i),
+                    i_exit_, aux_)
+
+        rng, ro, rd, ret, thr, surv_i, i_exit, aux_tot = lax.cond(
+            any_act, shade_branch, skip_branch,
+            (rng, ro, rd, ret, thr, i_exit, aux_tot),
         )
-        ro = vwhere(act, new_ro, ro)
-        rd = vwhere(act, new_rd, rd)
-        ret = vwhere(act, ret + emit * thr, ret)
-        new_thr = thr * thr_factor / ray_prob
 
-        p_rr = new_thr.max_component()
-        rng, r_rr = random_float01(rng)
-        rr_dead = act & (r_rr > p_rr)
-        i_exit = jnp.where(rr_dead, i, i_exit)
-        surv = act & ~rr_dead
-        p_pos = p_rr > 0.0
-        inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
-        thr = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
+        return (i + 1, rng, ro, rd, ret, thr, surv_i, i_exit,
+                steps_tot, act_tot, aux_tot)
 
-        return i + 1, rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit
-
-    _, _, _, _, ret, _, _, i_exit = lax.while_loop(cond, body, init)
+    _, _, _, _, ret, _, _, i_exit, steps_tot, act_tot, aux_tot = lax.while_loop(
+        cond, body, init
+    )
     i_exit = jnp.where(i_exit < 0, bounces + 1, i_exit)
+    if stats:
+        return ret, i_exit, steps_tot, act_tot, aux_tot
     return ret, i_exit
 
 
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int, sub_rows: int,
                  geometry: str = "faithful", normals: str = "central",
-                 t_cull: bool = False, p_cull: bool = False):
+                 t_cull: bool = False, p_cull: bool = False,
+                 clusters: bool = False, cond_group: int = 1):
     """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
     independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
 
@@ -368,21 +651,37 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     baked = geometry == "baked"
     if baked:
         map_culled = make_map_baked(spec)
+        map_d_culled = make_map_baked_d(spec, group=cond_group)
         bounds_fn = make_bounds_baked(spec, with_t=t_cull)
     else:
         map_culled = make_map_culled(spec)
+        map_d_culled = make_map_culled_d(spec)
         bounds_fn = make_bounds(spec, with_t=t_cull)
     if p_cull and not (baked and t_cull):
         raise ValueError("p_cull requires geometry='baked' and t_cull=True")
     box_offs = baked_box_offsets(spec) if p_cull else None
+    cluster_info = None
+    if clusters and baked and t_cull and not p_cull:
+        cboxes, shape_cluster = baked_clusters(spec)
+        if cboxes:
+            c_sizes = tuple(
+                sum(1 for s in shape_cluster if s == ci)
+                for ci in range(len(cboxes))
+            )
+            cluster_info = (
+                cboxes, shape_cluster, c_sizes, make_map_baked_d_clustered(spec)
+            )
     if normals == "autodiff":
         # Mosaic cannot yet compile the transpose of the anyhit lax.cond
         # skips, so the (~2-tap) AD normal differentiates the PLAIN per-lane
         # -guard map - same values, no conds.  The march keeps the culled map.
-        map_plain = make_map_baked(spec) if baked else make_map(spec)
+        map_plain_d = make_map_baked_d(spec) if baked else make_map_culled_d(spec)
 
         def normal_fn(_map_fn, p, pv, checks):
-            return calc_normal_autodiff(map_plain, p, pv, checks)
+            def plain(p_, pv_, checks_):
+                return map_plain_d(p_, pv_, checks_, None), None
+
+            return calc_normal_autodiff(plain, p, pv, checks)
     else:
         normal_fn = calc_normal
     if tile_h % sub_rows:
@@ -402,7 +701,11 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         aspect = fparams_ref[1]
         pv = gv_ref  # geometry vector: baked coefficients or the raw params
 
-        y0 = pl.program_id(0) * tile_h
+        # row_offset (iparams[3]) shifts this program's absolute pixel rows:
+        # 0 single-chip; a shard's band start under row-band sharding, so the
+        # per-pixel RNG and camera stay bit-identical to the whole-frame
+        # render (parallel/mesh.py).
+        y0 = pl.program_id(0) * tile_h + iparams_ref[3]
         x0 = pl.program_id(1) * tile_w
         gather_mat = _make_smem_gather_mat(spec, params_ref)
 
@@ -426,13 +729,32 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
 
             if debug in (0, 3):
                 col, i_exit = _path_trace_tile(
-                    map_culled, bounds_fn, gather_mat, ro, rd, pv, rng, bounces,
+                    map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
+                    pv, rng, bounces,
                     normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
+                    cluster_info=cluster_info,
                 )
                 if debug == 3:
                     col = Vec3.splat(
                         i_exit.astype(jnp.float32) / bounces.astype(jnp.float32)
                     )
+            elif debug == 4:
+                # Perf diagnostics (tile-uniform, t_cull only): x = total
+                # march steps across the bounce loop, y = per-step sum of
+                # tile-active shape counts, z = mean exit bounce.  Not a
+                # reference mode; feeds benchmarks/diagnose.py.
+                _col, i_exit, steps_tot, act_tot, aux_tot = _path_trace_tile(
+                    map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
+                    pv, rng, bounces,
+                    normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
+                    stats=True, cluster_info=cluster_info,
+                )
+                zero2 = jnp.zeros((sub_rows, tile_w), jnp.float32)
+                col = Vec3(
+                    zero2 + steps_tot,
+                    zero2 + act_tot,
+                    zero2 + aux_tot,
+                )
             elif debug in (1, 2):
                 if t_cull:
                     checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
@@ -442,13 +764,18 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 anyhit = _anyhit(checks)
 
                 def map_fn(p, pv_, checks_):
-                    return map_culled(p, pv_, checks_, anyhit)
+                    return map_d_culled(p, pv_, checks_, anyhit), None
 
                 if t_cull:
-                    t, idx = _march_while_tcull(map_culled, ro, rd, pv, checks,
-                                                ivals, box_offs=box_offs)
+                    gaps = (_gap_scalars(pv, box_offs, ro, None)
+                            if box_offs is not None else None)
+                    t, tp = _march_while_tcull(map_d_culled, ro, rd, pv,
+                                               checks, ivals, tns, gaps=gaps)
                 else:
-                    t, idx = _march_while(map_fn, ro, rd, pv, checks)
+                    def map_d_fn(p, pv_, checks_):
+                        return map_d_culled(p, pv_, checks_, anyhit)
+
+                    t, tp = _march_while(map_d_fn, ro, rd, pv, checks)
                 if debug == 1:
                     # normals + AABB tint (test_compute.glsl:170-179)
                     n = normal_fn(map_fn, ro + rd * t, pv, checks)
@@ -456,6 +783,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     col = vwhere(t > FP, Vec3.splat(dbg), shaded)
                 else:
                     # first-hit albedo (test_compute.glsl:183-195)
+                    idx = _final_idx(map_culled, ro, rd, pv, checks, anyhit, t, tp)
                     col = gather_mat(idx).col
             else:
                 col = Vec3.splat(jnp.zeros((sub_rows, tile_w), jnp.float32))
@@ -482,7 +810,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     jax.jit,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows",
-        "geometry", "normals", "t_cull", "p_cull", "interpret",
+        "geometry", "normals", "t_cull", "p_cull", "clusters", "cond_group",
+        "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -494,6 +823,7 @@ def _pallas_frame_planes(
     bounces,
     fov,
     aspect,
+    row_offset=0,
     *,
     width: int,
     height: int,
@@ -505,6 +835,8 @@ def _pallas_frame_planes(
     normals: str = "central",
     t_cull: bool = False,
     p_cull: bool = False,
+    clusters: bool = False,
+    cond_group: int = 1,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -516,6 +848,7 @@ def _pallas_frame_planes(
             jnp.asarray(frame, jnp.int32),
             jnp.asarray(last_clear, jnp.int32),
             jnp.asarray(bounces, jnp.int32),
+            jnp.asarray(row_offset, jnp.int32),
         ]
     )
     fparams = jnp.stack(
@@ -523,7 +856,8 @@ def _pallas_frame_planes(
     )
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows,
-                          geometry, normals, t_cull, p_cull)
+                          geometry, normals, t_cull, p_cull, clusters,
+                          cond_group)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -576,6 +910,8 @@ def render_frame_pallas(
     normals: str = "central",
     t_cull: bool = False,
     p_cull: bool = False,
+    clusters: bool = False,
+    cond_group: int = 1,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -615,6 +951,8 @@ def render_frame_pallas(
         normals=normals,
         t_cull=t_cull,
         p_cull=p_cull,
+        clusters=clusters,
+        cond_group=cond_group,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))
@@ -623,13 +961,14 @@ def render_frame_pallas(
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w",
-                     "geometry", "normals", "t_cull", "p_cull", "interpret"),
+                     "geometry", "normals", "t_cull", "p_cull", "clusters",
+                     "interpret"),
 )
 def _accumulate_pallas_impl(
     spec, params, bounces, fov, aspect,
     *, width, height, n_frames, tile_h, tile_w,
     geometry="faithful", normals="central", t_cull=False, p_cull=False,
-    interpret=False,
+    clusters=False, interpret=False,
 ):
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -641,7 +980,7 @@ def _accumulate_pallas_impl(
             width=width, height=height, debug=0,
             tile_h=tile_h, tile_w=tile_w,
             geometry=geometry, normals=normals, t_cull=t_cull, p_cull=p_cull,
-            interpret=interpret,
+            clusters=clusters, interpret=interpret,
         )
 
     out = lax.fori_loop(0, n_frames, body, accum0)
@@ -663,6 +1002,7 @@ def render_accumulated_pallas(
     normals: str = "central",
     t_cull: bool = False,
     p_cull: bool = False,
+    clusters: bool = False,
     interpret: bool = False,
 ):
     """Fused multi-frame progressive accumulation: the accumulator stays
@@ -685,5 +1025,6 @@ def render_accumulated_pallas(
         normals=normals,
         t_cull=t_cull,
         p_cull=p_cull,
+        clusters=clusters,
         interpret=interpret,
     )

@@ -38,7 +38,7 @@ from ..render.reference import calc_normal, shade_bounce
 from ..render.scenegen import make_bounds, make_map_culled
 from ..scene.compile import SceneSpec
 from ..vecmath import Vec3, vwhere
-from .megakernel import _anyhit, _make_smem_gather_mat, _march_while
+from .megakernel import _anyhit, _final_idx, _make_smem_gather_mat, _march_while
 
 # Ray-block geometry: each grid program owns (BLOCK_ROWS, 128) rays of the
 # flat (M, 128) ray buffer.
@@ -105,7 +105,11 @@ def _make_bounce_kernel(spec: SceneSpec):
             def map_fn(p, pv_, checks_):
                 return map_culled(p, pv_, checks_, anyhit)
 
-            t, idx = _march_while(map_fn, ro, rd, pv, checks)
+            def map_d_fn(p, pv_, checks_):
+                return map_culled(p, pv_, checks_, anyhit)[0]
+
+            t, tp = _march_while(map_d_fn, ro, rd, pv, checks)
+            idx = _final_idx(map_culled, ro, rd, pv, checks, anyhit, t, tp)
 
             # Shading: one iteration of the reference bounce loop
             # (test_compute.glsl:103-159), masked by `act`.

@@ -70,10 +70,24 @@ def render_frame_sharded(
     bounces: int = DEFAULT_BOUNCES,
     fov: float = DEFAULT_FOV,
     aspect: float = None,
+    backend: str = "pallas",
+    tile: tuple = None,
+    geometry: str = "faithful",
+    t_cull: bool = False,
+    interpret: bool = None,
 ):
     """One progressively-accumulated frame with row bands sharded over the
     mesh.  Bit-identical to the single-chip renderer for the same inputs:
     only the pixel->chip assignment changes.
+
+    ``backend="pallas"`` (default) runs the Pallas MEGAKERNEL inside each
+    shard - the sharded layer distributes the same whole-screen dispatch the
+    reference issues (src/path_tracer/path_tracer.rs:141-145), not the slower
+    XLA oracle; each shard's kernel gets its band's absolute row offset so
+    the per-pixel RNG/camera (pure functions of absolute coords) match the
+    single-chip render bit-for-bit.  ``backend="oracle"`` keeps the jnp
+    reference path.  ``interpret`` forces Pallas interpret mode (defaults to
+    True off-TPU so the virtual CPU mesh can execute the kernel).
 
     ``height`` must be divisible by the mesh size.
     """
@@ -82,8 +96,56 @@ def render_frame_sharded(
     n = mesh.devices.size
     if height % n:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
+    band_h = height // n
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if tile is None:
+        th = band_h if band_h < 64 else 64
+        tile = (th, 128)
+
+    if backend == "pallas":
+        from ..kernels.megakernel import _pad_to, _pallas_frame_planes
+
+        th, tw = tile
+        if band_h % th:
+            raise ValueError(f"band height {band_h} not a multiple of tile {th}")
+
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(TILE_AXIS), P(), P(), P(), P(), P()),
+            out_specs=P(TILE_AXIS),
+            # pallas_call outputs can't declare varying-mesh-axes metadata
+            # yet; the kernel is pointwise per band, so the vma check adds
+            # nothing here.
+            check_vma=False,
+        )
+        def run_pallas(params, accum_band, frame, last_clear, bounces, fov, aspect):
+            y0 = lax.axis_index(TILE_AXIS) * band_h
+            planes = _pad_to(
+                jnp.transpose(accum_band, (2, 0, 1)), th, tw
+            )
+            out = _pallas_frame_planes(
+                spec, params, planes, frame, last_clear, bounces, fov, aspect,
+                y0,
+                width=width, height=height, debug=debug,
+                tile_h=th, tile_w=tw,
+                geometry=geometry, t_cull=t_cull, interpret=interpret,
+            )
+            return jnp.transpose(out[:, :band_h, :width], (1, 2, 0))
+
+        return run_pallas(
+            jnp.asarray(params, jnp.float32),
+            jnp.asarray(accum, jnp.float32),
+            jnp.asarray(frame, jnp.int32),
+            jnp.asarray(last_clear, jnp.int32),
+            jnp.asarray(bounces, jnp.int32),
+            jnp.asarray(fov, jnp.float32),
+            jnp.asarray(aspect, jnp.float32),
+        )
 
     @jax.jit
     @partial(

@@ -115,6 +115,23 @@ class BakedShape:
 
 
 @dataclass(frozen=True)
+class BakedCluster:
+    """A contiguous run of boxed sibling shapes sharing one enclosing box.
+
+    Clusters exist purely for march-time culling granularity (the megakernel
+    tests 1 cluster box instead of ~8 leaf boxes per step); they never change
+    the CSG fold - members stay consecutive in their union's child order, so
+    gating a whole run behind one tile-uniform predicate is exactly the same
+    skip the per-leaf predicates would have produced."""
+
+    index: int                      # global cluster index (walk order)
+    box_off: int                    # 6 bv slots: union of member cull boxes
+    shape_ids: Tuple[int, ...]      # member shape ids (consecutive siblings)
+    cull_offs: Tuple[int, ...]      # members' cull_off slots (box source)
+    child_span: Tuple[int, int]     # [start, end) in the union's child order
+
+
+@dataclass(frozen=True)
 class BakedUnion:
     op: int
     init_off: int      # world-scaled MAXHIT accumulator seed
@@ -122,6 +139,7 @@ class BakedUnion:
     k_off: int         # world-scaled smooth-min k, or -1
     children_unions: Tuple["BakedUnion", ...]
     children_shapes: Tuple[BakedShape, ...]
+    clusters: Tuple[BakedCluster, ...]
 
 
 @dataclass(frozen=True)
@@ -133,11 +151,18 @@ class BakedLayout:
 
 _GEOM_SLOTS = {KIND_SPHERE: 4, KIND_CUBE: 15, KIND_PLANE: 4, KIND_OCTAHEDRON: 13}
 
+# Cluster shaping: a union's boxed children are grouped into contiguous runs
+# of <= CLUSTER_SIZE, but only when the union has >= CLUSTER_MIN of them -
+# below that, per-leaf culling granularity is already as sharp as it gets.
+CLUSTER_SIZE = 8
+CLUSTER_MIN = 12
+
 
 @lru_cache(maxsize=None)
 def baked_layout(spec: SceneSpec) -> BakedLayout:
     """Assign bv slot offsets in a deterministic walk (mirrored by bake)."""
     counter = [1]  # slot 0 is a sentinel, mirroring the reference DataArray
+    cluster_counter = [0]
 
     def take(n):
         off = counter[0]
@@ -155,6 +180,37 @@ def baked_layout(spec: SceneSpec) -> BakedLayout:
             aabb_off=aabb_off, cull_off=cull_off, aabb=ss.transform.aabb,
         )
 
+    def make_clusters(cs: Tuple[BakedShape, ...]) -> Tuple[BakedCluster, ...]:
+        boxed = [bs for bs in cs if bs.cull_off >= 0]
+        if len(boxed) < CLUSTER_MIN:
+            return ()
+        clusters = []
+        run: list = []
+
+        def flush(end):
+            if run:
+                clusters.append(
+                    BakedCluster(
+                        index=cluster_counter[0],
+                        box_off=take(6),
+                        shape_ids=tuple(bs.shape_id for bs in run),
+                        cull_offs=tuple(bs.cull_off for bs in run),
+                        child_span=(end - len(run), end),
+                    )
+                )
+                cluster_counter[0] += 1
+                run.clear()
+
+        for ci, bs in enumerate(cs):
+            if bs.cull_off < 0:
+                flush(ci)  # unboxed shape breaks the contiguous run
+                continue
+            run.append(bs)
+            if len(run) == CLUSTER_SIZE:
+                flush(ci + 1)
+        flush(len(cs))
+        return tuple(clusters)
+
     def walk_union(us: UnionSpec) -> BakedUnion:
         init_off = take(1)
         empty_off = take(1)
@@ -163,7 +219,7 @@ def baked_layout(spec: SceneSpec) -> BakedLayout:
         cs = tuple(walk_shape(child) for child in us.children_shapes)
         return BakedUnion(
             op=us.op, init_off=init_off, empty_off=empty_off, k_off=k_off,
-            children_unions=cu, children_shapes=cs,
+            children_unions=cu, children_shapes=cs, clusters=make_clusters(cs),
         )
 
     roots = tuple(walk_union(r) for r in spec.roots)
@@ -282,6 +338,15 @@ def bake(spec: SceneSpec, pv) -> jnp.ndarray:
         for bcu in bu.children_unions:
             acc = _combine_scalar(bu.op, acc, vals[bcu.empty_off], k)
         emit(bu.empty_off, (acc,))
+        # Cluster boxes: elementwise union of the members' cull boxes (which
+        # this walk has just emitted above).
+        for cl in bu.clusters:
+            lo = [vals[cl.cull_offs[0] + a] for a in range(3)]
+            hi = [vals[cl.cull_offs[0] + 3 + a] for a in range(3)]
+            for co in cl.cull_offs[1:]:
+                lo = [jnp.minimum(lo[a], vals[co + a]) for a in range(3)]
+                hi = [jnp.maximum(hi[a], vals[co + 3 + a]) for a in range(3)]
+            emit(cl.box_off, (*lo, *hi))
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -412,6 +477,129 @@ def _eval_union(bu: BakedUnion, p, bv, checks, anyhit):
     return jax.lax.cond(pred, evaluate, skip, None)
 
 
+def _eval_shape_d(bs: BakedShape, p, bv, checks, acc_d, op, k, si,
+                  extra_mask=None):
+    d = _leaf_distance(bs, p, bv)
+    cd = _combine_scalar(op, acc_d, d, k) if si else d
+    if bs.aabb:
+        g = checks[bs.shape_id]
+        if extra_mask is not None:
+            g = g & extra_mask
+        return jnp.where(g, cd, acc_d)
+    return cd
+
+
+def _guarded_runs(children, anyhit, group):
+    """Chunk a union's child list into cond units: runs of up to ``group``
+    consecutive anyhit-guarded shapes (grouped under ONE branch) and single
+    always-evaluated shapes.  Yields (start_index, [shapes])."""
+    i = 0
+    while i < len(children):
+        bs = children[i]
+        guarded = bs.aabb and anyhit is not None and anyhit[bs.shape_id] is not None
+        if not guarded:
+            yield i, [bs]
+            i += 1
+            continue
+        run = [bs]
+        j = i + 1
+        while (
+            j < len(children)
+            and len(run) < group
+            and children[j].aabb
+            and anyhit[children[j].shape_id] is not None
+        ):
+            run.append(children[j])
+            j += 1
+        yield i, run
+        i = j
+
+
+def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
+    """Distance-only fold of :func:`_eval_union` - no winning-id selects.
+
+    The march only needs the scene distance per tap; the winning shape id is
+    recovered by ONE full-map re-tap at the hit position (megakernel
+    ``_final_idx``), so every per-shape int32 select drops out of the
+    80-step hot loop.
+
+    ``group`` > 1 merges up to that many consecutive guarded shapes under ONE
+    lax.cond whose predicate is the OR of their active scalars, with each
+    member additionally masked by its own scalar.  Bit-identical to per-shape
+    conds (a masked member's guard is all-false, leaving the accumulator
+    untouched) but the members' evaluation chains are INDEPENDENT inside one
+    branch region, giving Mosaic instruction-level parallelism it cannot get
+    across separate scf.if regions - the measured pipeline limiter of the
+    march (benchmarks/diagnose.py, ~0.4 vreg-ops/cycle with per-shape conds).
+    """
+
+    def evaluate(_):
+        acc_d = jnp.full_like(p.x, 1.0) * bv[bu.init_off]
+        k = bv[bu.k_off] if bu.k_off >= 0 else None
+        for cu in bu.children_unions:
+            cd = _eval_union_d(cu, p, bv, checks, anyhit, group)
+            acc_d = _combine_scalar(bu.op, acc_d, cd, k)
+        cs = bu.children_shapes
+        for start, run in _guarded_runs(cs, anyhit, group):
+            guarded = (
+                run[0].aabb and anyhit is not None
+                and anyhit[run[0].shape_id] is not None
+            )
+            if not guarded:
+                acc_d = _eval_shape_d(cs[start], p, bv, checks, acc_d, bu.op,
+                                      k, start)
+                continue
+            if len(run) == 1:
+                bs = run[0]
+
+                def do1(a, bs=bs, si=start, k=k):
+                    return _eval_shape_d(bs, p, bv, checks, a, bu.op, k, si)
+
+                acc_d = jax.lax.cond(anyhit[bs.shape_id], do1, lambda a: a, acc_d)
+                continue
+            pred = anyhit[run[0].shape_id]
+            for bs in run[1:]:
+                pred = jnp.logical_or(pred, anyhit[bs.shape_id])
+
+            def do(a, run=run, start=start, k=k):
+                for off, bs in enumerate(run):
+                    a = _eval_shape_d(bs, p, bv, checks, a, bu.op, k,
+                                      start + off,
+                                      extra_mask=anyhit[bs.shape_id])
+                return a
+
+            acc_d = jax.lax.cond(pred, do, lambda a: a, acc_d)
+        return acc_d
+
+    def skip(_):
+        return jnp.full_like(p.x, 1.0) * bv[bu.empty_off]
+
+    if anyhit is None:
+        return evaluate(None)
+    pred = _union_cull_pred(bu, anyhit)
+    if pred is True:
+        return evaluate(None)
+    if pred is False:
+        return skip(None)
+    return jax.lax.cond(pred, evaluate, skip, None)
+
+
+def make_map_baked_d(spec: SceneSpec, group: int = 1):
+    """Distance-only ``map(p, bv, checks, anyhit=None) -> d`` over baked
+    geometry: identical distances to :func:`make_map_baked` with every
+    winning-id int32 select removed (march + normal taps don't need ids).
+    ``group``: see :func:`_eval_union_d`."""
+    layout = baked_layout(spec)
+
+    def map_fn(p: Vec3, bv, checks, anyhit=None):
+        d = jnp.full_like(p.x, MAX_DIST)
+        for broot in layout.roots:
+            d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit, group))
+        return d
+
+    return map_fn
+
+
 def make_map_baked(spec: SceneSpec):
     """Build ``map(p, bv, checks, anyhit=None) -> (d, idx)`` over baked
     geometry.  ``anyhit`` (tile-uniform per-shape predicates) enables the
@@ -451,6 +639,139 @@ def baked_box_offsets(spec: SceneSpec):
     for broot in layout.roots:
         walk(broot)
     return tuple(offs)
+
+
+def _union_pred_cl(bu: BakedUnion, sact, cact, shape_cluster):
+    """Tile-level skip predicate for a union in the clustered map: OR of its
+    descendant clusters' actives, unclustered boxed shapes' actives, and True
+    for any always-evaluated shape."""
+    terms = []
+    seen_clusters = set()
+    for cu in bu.children_unions:
+        t = _union_pred_cl(cu, sact, cact, shape_cluster)
+        if t is True:
+            return True
+        if t is not False:
+            terms.append(t)
+    for bs in bu.children_shapes:
+        ci = shape_cluster[bs.shape_id]
+        if ci is not None:
+            if ci not in seen_clusters:
+                seen_clusters.add(ci)
+                terms.append(cact[ci])
+        elif bs.aabb and sact[bs.shape_id] is not None:
+            terms.append(sact[bs.shape_id])
+        else:
+            return True
+    if not terms:
+        return False
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = jnp.logical_or(pred, t)
+    return pred
+
+
+def _eval_union_d_cl(bu: BakedUnion, p, bv, checks, sact, cact, shape_cluster):
+    """Distance-only union fold with CLUSTER-granular lax.cond skipping.
+
+    One branch per contiguous run of boxed siblings (BakedCluster) instead of
+    one per shape: inside an active cluster's branch the members fold
+    unconditionally under their per-lane ``checks`` guards, so the per-step
+    branch-dispatch cost drops from O(shapes) to O(clusters) - the dominant
+    fixed cost of the march measured in benchmarks/diagnose.py.  Fold order
+    and guard semantics are exactly those of :func:`_eval_union_d`: a skipped
+    cluster leaves the accumulator untouched, which is bit-identical to every
+    member's per-lane guard masking every lane (the cluster is only inactive
+    when that holds... up to the documented t-front eps caveat)."""
+    span_start = {cl.child_span[0]: cl for cl in bu.clusters}
+
+    def evaluate(_):
+        acc_d = jnp.full_like(p.x, 1.0) * bv[bu.init_off]
+        k = bv[bu.k_off] if bu.k_off >= 0 else None
+        for cu in bu.children_unions:
+            cd = _eval_union_d_cl(cu, p, bv, checks, sact, cact, shape_cluster)
+            acc_d = _combine_scalar(bu.op, acc_d, cd, k)
+        cs = bu.children_shapes
+        si = 0
+        while si < len(cs):
+            cl = span_start.get(si)
+            if cl is not None:
+                a, b = cl.child_span
+
+                def do(acc, a=a, b=b, k=k):
+                    for j in range(a, b):
+                        acc = _eval_shape_d(cs[j], p, bv, checks, acc, bu.op, k, j)
+                    return acc
+
+                acc_d = jax.lax.cond(cact[cl.index], do, lambda x: x, acc_d)
+                si = b
+                continue
+            bs = cs[si]
+            if bs.aabb and sact[bs.shape_id] is not None:
+                def do1(acc, bs=bs, si=si, k=k):
+                    return _eval_shape_d(bs, p, bv, checks, acc, bu.op, k, si)
+
+                acc_d = jax.lax.cond(sact[bs.shape_id], do1, lambda x: x, acc_d)
+            else:
+                acc_d = _eval_shape_d(bs, p, bv, checks, acc_d, bu.op, k, si)
+            si += 1
+        return acc_d
+
+    def skip(_):
+        return jnp.full_like(p.x, 1.0) * bv[bu.empty_off]
+
+    pred = _union_pred_cl(bu, sact, cact, shape_cluster)
+    if pred is True:
+        return evaluate(None)
+    if pred is False:
+        return skip(None)
+    return jax.lax.cond(pred, evaluate, skip, None)
+
+
+def make_map_baked_d_clustered(spec: SceneSpec):
+    """Distance-only baked map with cluster-granular skipping:
+    ``map(p, bv, checks, sact, cact) -> d`` where ``cact`` holds one
+    tile-uniform active scalar per cluster (baked_clusters order) and
+    ``sact`` one per UNCLUSTERED boxed shape id (None entries elsewhere)."""
+    layout = baked_layout(spec)
+    _, shape_cluster = baked_clusters(spec)
+
+    def map_fn(p: Vec3, bv, checks, sact, cact):
+        d = jnp.full_like(p.x, MAX_DIST)
+        for broot in layout.roots:
+            d = jnp.minimum(
+                d, _eval_union_d_cl(broot, p, bv, checks, sact, cact, shape_cluster)
+            )
+        return d
+
+    return map_fn
+
+
+def baked_clusters(spec: SceneSpec):
+    """Static cluster table for march-time culling.
+
+    Returns ``(boxes, shape_cluster)``: ``boxes`` is a tuple of per-cluster
+    bv box offsets (6 slots each), ``shape_cluster`` maps shape id -> cluster
+    index (or None for unclustered shapes, which cull at leaf granularity
+    only)."""
+    layout = baked_layout(spec)
+    found: list = []
+    shape_cluster: list = [None] * layout.n_shapes
+
+    def walk(bu: BakedUnion):
+        for cu in bu.children_unions:
+            walk(cu)
+        for cl in bu.clusters:
+            found.append(cl)
+            for sid in cl.shape_ids:
+                shape_cluster[sid] = cl.index
+
+    for broot in layout.roots:
+        walk(broot)
+    boxes = [None] * len(found)
+    for cl in found:
+        boxes[cl.index] = cl.box_off
+    return tuple(boxes), tuple(shape_cluster)
 
 
 def make_bounds_baked(spec: SceneSpec, with_t: bool = False):

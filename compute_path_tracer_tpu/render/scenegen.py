@@ -252,6 +252,76 @@ def make_map_culled(spec: SceneSpec):
     return map_fn
 
 
+def _combine_d(op: int, acc_d, d, k=None):
+    if op == OP_UNION:
+        return jnp.minimum(acc_d, d)
+    if op == OP_SUBTRACTION:
+        na = -acc_d
+        return jnp.where(na >= d, na, d)
+    if op == OP_SMOOTH_UNION:
+        h = jnp.clip(0.5 + 0.5 * (d - acc_d) / k, 0.0, 1.0)
+        return d * (1.0 - h) + acc_d * h - k * h * (1.0 - h)
+    raise ValueError(f"unknown CSG op {op}")
+
+
+def _eval_shape_d(ss: ShapeSpec, p_node, pv, checks, acc_d, op, k, si):
+    q, s = apply_transform(ss.transform, p_node, pv)
+    d = _shape_distance(ss, q, pv) * s
+    cd = _combine_d(op, acc_d, d, k) if si else d
+    if ss.transform.aabb:
+        return jnp.where(checks[ss.shape_id], cd, acc_d)
+    return cd
+
+
+def _eval_union_culled_d(us: UnionSpec, p: Vec3, pv, checks, anyhit):
+    """Distance-only fold of :func:`_eval_union_culled` (no winning-id
+    selects); the march recovers the id with one full-map re-tap at the hit
+    position (megakernel ``_final_idx``)."""
+
+    def evaluate(_):
+        p1, s = apply_transform(us.transform, p, pv)
+        k = pv[us.smooth_k] if us.op == OP_SMOOTH_UNION else None
+        acc_d = jnp.full_like(p.x, MAX_DIST)
+        for cu in us.children_unions:
+            cd = _eval_union_culled_d(cu, p1, pv, checks, anyhit)
+            acc_d = _combine_d(us.op, acc_d, cd, k)
+        for si, ss in enumerate(us.children_shapes):
+            if ss.transform.aabb and anyhit is not None:
+                def do(a, ss=ss, si=si, k=k, p1=p1):
+                    return _eval_shape_d(ss, p1, pv, checks, a, us.op, k, si)
+
+                acc_d = jax.lax.cond(anyhit[ss.shape_id], do, lambda a: a, acc_d)
+            else:
+                acc_d = _eval_shape_d(ss, p1, pv, checks, acc_d, us.op, k, si)
+        return acc_d * s
+
+    def skip(_):
+        return jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+
+    if anyhit is None:
+        return evaluate(None)
+    pred = _union_cull_pred(us, anyhit)
+    if pred is True:
+        return evaluate(None)
+    if pred is False:
+        return skip(None)
+    return jax.lax.cond(pred, evaluate, skip, None)
+
+
+def make_map_culled_d(spec: SceneSpec):
+    """Distance-only variant of :func:`make_map_culled`:
+    ``map(p, pv, checks, anyhit=None) -> d`` with identical distances and no
+    winning-id int32 selects in the fold."""
+
+    def map_fn(p: Vec3, pv, checks, anyhit=None):
+        d = jnp.full_like(p.x, MAX_DIST)
+        for root in spec.roots:
+            d = jnp.minimum(d, _eval_union_culled_d(root, p, pv, checks, anyhit))
+        return d
+
+    return map_fn
+
+
 def make_bounds(spec: SceneSpec, with_t: bool = False):
     """Build ``bounds(ro, rd, pv) -> (checks, debug)``.
 

@@ -28,9 +28,18 @@ def load_scene(path: str) -> Scene:
         return Scene.from_dict(json.load(f))
 
 
-def save_map(scene: Scene, name: str, maps_dir: str = DEFAULT_MAPS_DIR) -> str:
-    """Save under ``{maps_dir}/{name}.json`` (sdf_editor.rs:131-139)."""
+def save_map(scene: Scene, name: str, maps_dir: str = DEFAULT_MAPS_DIR,
+             overwrite: bool = False) -> str:
+    """Save under ``{maps_dir}/{name}.json`` (sdf_editor.rs:131-139).
+
+    Refuses to clobber an existing map unless ``overwrite=True`` - the
+    headless analog of the reference's overwrite-warning dialog
+    (sdf_editor.rs:169-181)."""
     path = os.path.join(maps_dir, f"{name}.json")
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(
+            f"map '{name}' already exists at {path}; pass overwrite=True"
+        )
     save_scene(scene, path)
     return path
 

@@ -99,3 +99,30 @@ def test_psum_grad_matches_single_chip():
     # the distributed-gradient plumbing, not float associativity.
     scale = np.abs(want).max()
     np.testing.assert_allclose(grad_sharded, want, atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_sharded_pallas_fast_config_matches_single_chip():
+    """The bench configuration (Pallas megakernel, baked geometry, t-interval
+    culling) sharded over the mesh must match the single-chip Pallas render
+    up to the documented eps-level culling edge cases (<1% pixels)."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.scene import benchmark_scene
+
+    cs = compile_scene(benchmark_scene(16))
+    mesh = make_mesh(8)
+    w, h = 64, 64
+    kw = dict(width=w, height=h, debug=0, bounces=2, frame=2, last_clear=2)
+    img_s = np.asarray(
+        render_frame_sharded(
+            cs.spec, cs.params, mesh, backend="pallas", geometry="baked",
+            t_cull=True, interpret=True, **kw,
+        )
+    )
+    img_1 = np.asarray(
+        render_frame_pallas(
+            cs.spec, cs.params, geometry="baked", t_cull=True,
+            interpret=True, tile=(8, 128), **kw,
+        )
+    )
+    d = np.abs(img_s - img_1)
+    assert float((d.max(axis=2) > 1e-2).mean()) < 0.01

@@ -135,3 +135,19 @@ def test_subtraction_and_cube_compile():
     assert len(ss.size) == 3
     vals = [cs.params[i] for i in ss.size]
     np.testing.assert_allclose(vals, [1.0, 2.0, 3.0])
+
+
+def test_save_map_overwrite_guard(tmp_path):
+    """save_map refuses to clobber an existing map unless overwrite=True
+    (the reference's overwrite-warning dialog, sdf_editor.rs:169-181)."""
+    import pytest
+
+    from compute_path_tracer_tpu.scene import save_map, sphere_and_plane
+    from compute_path_tracer_tpu.scene.io import load_map
+
+    scene = sphere_and_plane()
+    save_map(scene, "guard", maps_dir=str(tmp_path))
+    with pytest.raises(FileExistsError):
+        save_map(scene, "guard", maps_dir=str(tmp_path))
+    save_map(scene, "guard", maps_dir=str(tmp_path), overwrite=True)
+    assert load_map("guard", maps_dir=str(tmp_path)).name == scene.name
