@@ -1,10 +1,20 @@
-"""Headline benchmark: forward path-tracing throughput on one chip.
+"""Headline benchmarks: forward and fwd+bwd path-tracing throughput, 1 chip.
 
-Measures rays/s (one ray per bounce segment per pixel per frame) for the
-Pallas megakernel at 1080p on the 64-primitive CSG benchmark scene with the
-reference's default 8-bounce budget - the north-star configuration from
-BASELINE.json.  Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+Measures rays/s (one ray per bounce segment per pixel per frame) at 1080p on
+the 64-primitive CSG benchmark scene with the reference's default 8-bounce
+budget - the north-star configuration from BASELINE.json.  Prints one JSON
+line per metric:
+
+  line 1: forward render (Pallas megakernel, baked geometry, t-interval
+          culling), with MEASURED roofline accounting - executed
+          shape-evaluations from the kernel's stats mode (debug=4), the
+          achieved f32 Tflop/s they imply, and utilization against the
+          nominal VPU peak (app/profiling.py) - so scheduling losses are
+          separable from algorithmic ones;
+  line 2: fwd+bwd training step (value_and_grad of an MSE loss) with the
+          march running on-chip in BOTH directions via the implicit-gradient
+          custom_vjp (kernels/march.py).
+
 vs_baseline is value / 1e9 (the reference publishes no numbers; 1e9 rays/s
 per chip is the BASELINE.json target).
 """
@@ -17,15 +27,13 @@ WIDTH, HEIGHT, BOUNCES = 1920, 1080, 8
 N_PRIMS = 64
 WARMUP_FRAMES = 1
 TIMED_FRAMES = 3
+BWD_TIMED_STEPS = 2
 
 
-def main():
+def bench_forward(cs):
     import jax
     import numpy as np
 
-    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
-
-    cs = compile_scene(benchmark_scene(N_PRIMS))
     backend = "pallas"
     try:
         from compute_path_tracer_tpu.kernels import render_frame_pallas as frame_fn
@@ -34,11 +42,9 @@ def main():
         backend = "xla"
 
     # Leaf-baked geometry (render/baked.py): same images as the faithful
-    # transform-chain map up to fp rounding (tests/test_baked.py), ~2.5x
-    # faster on v5e; the XLA fallback accepts the same kwarg.  t-interval
+    # transform-chain map up to fp rounding (tests/test_baked.py).  t-interval
     # culling (kernels/megakernel.py:_march_while_tcull) is an eps-level
-    # approximation (<0.1% of pixels, tests/test_baked.py:test_tcull_*)
-    # worth ~12% of frame time; dropped again if we fall back to XLA.
+    # approximation (<0.1% of pixels, tests/test_baked.py:test_tcull_*).
     geometry = "baked"
     kernel_kw = {"geometry": geometry}
     if backend == "pallas":
@@ -47,20 +53,13 @@ def main():
     def run(n_frames, accum, frame0):
         for f in range(n_frames):
             accum = frame_fn(
-                cs.spec,
-                cs.params,
-                accum=accum,
-                frame=frame0 + f,
-                last_clear=frame0 + f,
-                width=WIDTH,
-                height=HEIGHT,
-                debug=0,
-                bounces=BOUNCES,
-                **kernel_kw,
+                cs.spec, cs.params, accum=accum, frame=frame0 + f,
+                last_clear=frame0 + f, width=WIDTH, height=HEIGHT,
+                debug=0, bounces=BOUNCES, **kernel_kw,
             )
         # Force completion with a device-to-host copy: on the axon platform
-        # block_until_ready can return before queued work executes, which
-        # fabricates absurd frame times; a D2H read cannot lie.
+        # block_until_ready can return before queued work executes; a D2H
+        # read cannot lie.
         np.asarray(accum[:2, :2]).sum()
         return accum
 
@@ -69,36 +68,120 @@ def main():
         t0 = time.perf_counter()
         accum = run(TIMED_FRAMES, accum, WARMUP_FRAMES)
         dt = time.perf_counter() - t0
-    except Exception as e:  # pallas path failed: fall back to pure XLA
-        if backend == "pallas":
-            from compute_path_tracer_tpu.render import render_frame as frame_fn_xla
-            frame_fn = frame_fn_xla  # noqa: F841
-            backend = "xla-fallback"
-            kernel_kw.pop("t_cull", None)
-            accum = run(WARMUP_FRAMES, None, 0)
-            t0 = time.perf_counter()
-            accum = run(TIMED_FRAMES, accum, WARMUP_FRAMES)
-            dt = time.perf_counter() - t0
-        else:
+    except Exception:  # pallas path failed: fall back to pure XLA
+        if backend != "pallas":
             raise
+        from compute_path_tracer_tpu.render import render_frame as frame_fn_xla
+        frame_fn = frame_fn_xla  # noqa: F841
+        backend = "xla-fallback"
+        kernel_kw.pop("t_cull", None)
+        accum = run(WARMUP_FRAMES, None, 0)
+        t0 = time.perf_counter()
+        accum = run(TIMED_FRAMES, accum, WARMUP_FRAMES)
+        dt = time.perf_counter() - t0
 
+    frame_s = dt / TIMED_FRAMES
     rays = WIDTH * HEIGHT * (BOUNCES + 1) * TIMED_FRAMES
     value = rays / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"fwd path-trace rays/s/chip @ {WIDTH}x{HEIGHT}, "
-                f"{N_PRIMS}-prim CSG, {BOUNCES} bounces",
-                "value": value,
-                "unit": "rays/s",
-                "vs_baseline": value / 1e9,
-                "backend": backend,
-                "geometry": geometry,
-                "frame_ms": dt / TIMED_FRAMES * 1e3,
-                "device": str(jax.devices()[0]),
-            }
+    out = {
+        "metric": f"fwd path-trace rays/s/chip @ {WIDTH}x{HEIGHT}, "
+        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+        "backend": backend,
+        "geometry": geometry,
+        "frame_ms": frame_s * 1e3,
+        "device": str(jax.devices()[0]),
+    }
+    if backend == "pallas":
+        try:
+            from compute_path_tracer_tpu.app.profiling import (
+                PEAK_VPU_TFLOPS,
+                measured_frame_cost,
+            )
+
+            cost = measured_frame_cost(
+                cs.spec, cs.params, width=WIDTH, height=HEIGHT,
+                bounces=BOUNCES, geometry=geometry, t_cull=True,
+            )
+            achieved = cost["flops_executed"] / frame_s / 1e12
+            out["shape_evals_per_ray"] = cost["shape_evals_per_ray"]
+            out["achieved_tflops"] = achieved
+            out["vpu_utilization"] = achieved / PEAK_VPU_TFLOPS
+        except Exception as e:
+            out["roofline_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def bench_fwd_bwd(cs):
+    import jax
+    import numpy as np
+
+    from compute_path_tracer_tpu.diff import make_loss
+
+    target = np.zeros((HEIGHT, WIDTH, 3), np.float32)
+    march = "pallas"
+    try:
+        loss = make_loss(
+            cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
+            geometry="baked", march=march,
         )
-    )
+        vg = jax.jit(jax.value_and_grad(loss))
+        _, g = vg(cs.params)
+        np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
+    except Exception:
+        march = "xla"
+        loss = make_loss(
+            cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
+            geometry="baked", march=march,
+        )
+        vg = jax.jit(jax.value_and_grad(loss))
+        _, g = vg(cs.params)
+        np.asarray(g[:2]).sum()
+
+    t0 = time.perf_counter()
+    for _ in range(BWD_TIMED_STEPS):
+        _, g = vg(cs.params)
+    np.asarray(g[:2]).sum()
+    dt = (time.perf_counter() - t0) / BWD_TIMED_STEPS
+
+    rays = WIDTH * HEIGHT * (BOUNCES + 1)
+    value = rays / dt
+    return {
+        "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
+        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+        "march": march,
+        "step_ms": dt * 1e3,
+        "grad_finite": bool(np.isfinite(np.asarray(g)).all()),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    import jax  # noqa: F401
+
+    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
+
+    import jax.numpy as jnp
+
+    compiled = compile_scene(benchmark_scene(N_PRIMS))
+
+    class _CS:  # both benches share the spec + device-resident params
+        spec = compiled.spec
+        params = jnp.asarray(compiled.params, jnp.float32)
+
+    print(json.dumps(bench_forward(_CS)), flush=True)
+    try:
+        print(json.dumps(bench_fwd_bwd(_CS)), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd+bwd train-step rays/s/chip",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
     return 0
 
 

@@ -109,16 +109,33 @@ def cmd_optimize(args) -> int:
 
     rng = np.random.default_rng(0)
     init = np.asarray(cs.params, np.float32)
-    init = init + rng.normal(0, args.perturb, init.shape).astype(np.float32)
+    mask = None
+    pos_slot = None
+    if args.perturb_what == "position":
+        # Silhouette-recovery demo: offset one shape's x-position and
+        # optimize ONLY that slot back.  Smooth gradients are (near) zero for
+        # a position - this is the case --edge-grad exists for.
+        pos_slot = cs.spec.roots[0].children_shapes[0].transform.pos[0]
+        init[pos_slot] += args.perturb
+        mask = np.zeros_like(init)
+        mask[pos_slot] = 1.0
+        print(f"perturbed position slot {pos_slot} by {args.perturb:+.3f}")
+    else:
+        init = init + rng.normal(0, args.perturb, init.shape).astype(np.float32)
 
     result = optimize_to_target(
         cs.spec, init, target, width=args.width, height=args.height,
         bounces=args.bounces, spp=args.spp, steps=args.steps,
-        learning_rate=args.lr,
+        learning_rate=args.lr, param_mask=mask, edge_grad=args.edge_grad,
         callback=lambda i, l: print(f"step {i:4d} loss {l:.6f}")
         if i % max(1, args.steps // 10) == 0 else None,
     )
     print(f"final loss {result.losses[-1]:.6f} (from {result.losses[0]:.6f})")
+    if pos_slot is not None:
+        true_x = float(np.asarray(cs.params)[pos_slot])
+        got_x = float(np.asarray(result.params)[pos_slot])
+        print(f"position slot {pos_slot}: true {true_x:+.4f} "
+              f"recovered {got_x:+.4f} (started {init[pos_slot]:+.4f})")
     return 0
 
 
@@ -195,6 +212,11 @@ def main(argv=None) -> int:
     o.add_argument("--steps", type=int, default=50)
     o.add_argument("--lr", type=float, default=2e-2)
     o.add_argument("--perturb", type=float, default=0.05)
+    o.add_argument("--perturb-what", default="all", choices=("all", "position"),
+                   help="'position': offset one shape's x and recover it "
+                        "(pair with --edge-grad)")
+    o.add_argument("--edge-grad", action="store_true",
+                   help="add reparameterized silhouette gradients")
     o.set_defaults(fn=cmd_optimize)
 
     d = sub.add_parser(

@@ -63,6 +63,56 @@ class FrameCost:
         return self.achieved_tflops(frame_seconds) / peak_tflops
 
 
+# Per shape-evaluation vector-op cost of the BAKED map (leaf affine already
+# folded): sphere ~10, cube ~27, octahedron ~25, combine+guard ~4.  A single
+# blended constant keeps the measured-work conversion simple.
+_OPS_PER_BAKED_EVAL = 20
+# Nominal v5e f32 VPU peak (8x128 lanes x 4 ALU slots x ~0.94 GHz).  The
+# measured attainable rate on dependent elementwise chains is far lower
+# (benchmarks/vpu_peak.py); utilization against the nominal peak separates
+# scheduling losses from algorithmic ones, per round-2 plan.
+PEAK_VPU_TFLOPS = 3.9
+
+
+def measured_frame_cost(spec, params, *, width, height, bounces,
+                        geometry="baked", t_cull=True, tile=(64, 128),
+                        frame=1):
+    """MEASURED per-frame work of the megakernel via its in-kernel stats
+    mode (debug=4): per tile, the march's total steps and summed tile-active
+    shape counts plus the aux (normal/final-id) tap counts - the true
+    post-culling evaluation count, not a zero-early-exit model.
+
+    Returns a dict with executed shape-evaluations, estimated executed
+    flops, and per-ray averages; combine with a measured frame time for
+    honest achieved-vs-peak numbers (bench.py).
+    """
+    import numpy as np
+
+    from ..kernels.megakernel import render_frame_pallas
+
+    img = np.asarray(
+        render_frame_pallas(
+            spec, params, width=width, height=height, debug=4,
+            bounces=bounces, frame=frame, last_clear=frame,
+            geometry=geometry, t_cull=t_cull, tile=tile,
+        )
+    )
+    th, tw = tile
+    tiles = img[::th, ::tw, :]
+    lanes = th * tw
+    steps = float(tiles[..., 0].sum())
+    march_evals = float(tiles[..., 1].sum()) * lanes
+    aux_evals = float(tiles[..., 2].sum()) * lanes
+    total = march_evals + aux_evals
+    rays = width * height * (bounces + 1)
+    return {
+        "march_steps_total": steps,
+        "shape_evals_executed": total,
+        "shape_evals_per_ray": total / rays,
+        "flops_executed": total * _OPS_PER_BAKED_EVAL,
+    }
+
+
 def measure_frame_time(frame_fn, *args, warmup: int = 1, iters: int = 3, **kwargs) -> float:
     """Median wall time of frame_fn, synced via a device->host read (the
     axon platform's block_until_ready can return early; a D2H copy cannot)."""

@@ -38,16 +38,24 @@ def optimize_to_target(
     implicit: bool = True,
     param_mask=None,
     callback: Optional[Callable[[int, float], None]] = None,
+    geometry: str = "faithful",
+    edge_grad: bool = False,
+    edge_beta: float = 1.0,
+    march: str = "xla",
 ) -> OptimizeResult:
     """Adam-optimize the parameter vector toward a target image.
 
     ``param_mask`` (same shape as params, 0/1) freezes entries - e.g. to
-    optimize only geometry or only albedo.  Returns final params and the
-    per-step loss trace.
+    optimize only geometry or only albedo.  ``edge_grad`` adds the
+    reparameterized silhouette gradient (diff/vjp.py) - required when the
+    optimized parameter only moves visibility edges (e.g. recovering a
+    flat-lit shape's POSITION, where smooth gradients are zero almost
+    everywhere).  Returns final params and the per-step loss trace.
     """
     loss_fn = make_loss(
         spec, target, width=width, height=height, bounces=bounces, spp=spp,
-        implicit=implicit,
+        implicit=implicit, geometry=geometry, edge_grad=edge_grad,
+        edge_beta=edge_beta, march=march,
     )
     opt = optimizer or optax.adam(learning_rate)
     params = jnp.asarray(init_params, jnp.float32)

@@ -224,9 +224,23 @@ def render_pixels_diff(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 1.0,
+    march: str = "xla",
+    march_interpret: bool = False,
+    normals: str = "central",
 ) -> Vec3:
     """Differentiable path-traced pixels: static bounce count (scan loops)
     and, with ``implicit=True``, the O(1)-memory march backward.
+
+    ``normals="autodiff"`` swaps the 6-tap central difference for the exact
+    reverse-mode map gradient (render/reference.py:calc_normal_autodiff):
+    ~3x fewer map taps in the XLA shading graph and a cheaper second-order
+    term in the backward; values differ from the reference's eps=1e-4 finite
+    difference at sub-eps level.
+
+    ``march="pallas"`` swaps the XLA sphere march for the on-chip kernel
+    (kernels/march.py) in BOTH directions: the forward runs the Pallas
+    t-interval-culled march, the backward the same one-tap implicit gradient
+    - the training step never executes or tapes an 80-step march in XLA.
 
     ``geometry="baked"`` marches the leaf-baked affine map (render/baked.py);
     the bake is itself a differentiable jnp graph, so the implicit march's
@@ -285,10 +299,21 @@ def render_pixels_diff(
         width, height, aspect,
     )
     ro, rd = primary_ray(u, v, fov)
-    cast_fn = make_implicit_cast(map_fn)
+    if march == "pallas":
+        from ..kernels.march import make_pallas_cast
+
+        cast_fn = make_pallas_cast(
+            spec, geometry=geometry, interpret=march_interpret
+        )
+    else:
+        cast_fn = make_implicit_cast(map_fn)
+    normal_fn = None
+    if normals == "autodiff":
+        def normal_fn(map_fn_, p, pv_, checks_, _idx):
+            return _ref.calc_normal_autodiff(map_fn_, p, pv_, checks_)
     col, _ = _ref.path_trace(
         map_fn, bounds_fn, gather_mat, ro, rd, gv, rng, bounces,
-        cast_fn=cast_fn,
+        cast_fn=cast_fn, normal_fn=normal_fn,
     )
     if edge_grad:
         from ..constants import MHD
@@ -320,7 +345,8 @@ def render_pixels_diff(
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "spp", "implicit",
-                     "geometry", "edge_grad", "edge_beta"),
+                     "geometry", "edge_grad", "edge_beta", "march",
+                     "march_interpret", "normals"),
 )
 def render_image_diff(
     spec: SceneSpec,
@@ -336,6 +362,9 @@ def render_image_diff(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 1.0,
+    march: str = "xla",
+    march_interpret: bool = False,
+    normals: str = "central",
 ):
     """Differentiable full-frame render, averaging ``spp`` RNG streams
     (frames) per pixel.  Returns (H, W, 3)."""
@@ -349,7 +378,8 @@ def render_image_diff(
             spec, params, xs, ys, f, bounces,
             jnp.float32(fov), jnp.float32(aspect),
             width=width, height=height, implicit=implicit, geometry=geometry,
-            edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+            march_interpret=march_interpret, normals=normals,
         ).stack()
 
     acc = one(jnp.int32(0))
@@ -370,6 +400,9 @@ def make_loss(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 1.0,
+    march: str = "xla",
+    march_interpret: bool = False,
+    normals: str = "central",
 ):
     """MSE-to-target loss over a differentiable render; use with jax.grad."""
     target = jnp.asarray(target, jnp.float32)
@@ -378,7 +411,8 @@ def make_loss(
         img = render_image_diff(
             spec, params, width=width, height=height, bounces=bounces,
             spp=spp, implicit=implicit, geometry=geometry,
-            edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+            march_interpret=march_interpret, normals=normals,
         )
         return jnp.mean((img - target) ** 2)
 

@@ -1,6 +1,8 @@
-"""Pallas TPU kernels: the fused tile megakernel and the compacting
-wavefront backend (backward passes live in diff/)."""
+"""Pallas TPU kernels: the fused tile megakernel, the standalone
+differentiable march (forward kernel + implicit-gradient backward), and the
+compacting wavefront backend."""
 
+from .march import make_pallas_cast, march_pallas
 from .megakernel import (
     DEFAULT_TILE,
     render_accumulated_pallas,
@@ -10,6 +12,8 @@ from .wavefront import render_frame_wavefront
 
 __all__ = [
     "DEFAULT_TILE",
+    "make_pallas_cast",
+    "march_pallas",
     "render_accumulated_pallas",
     "render_frame_pallas",
     "render_frame_wavefront",

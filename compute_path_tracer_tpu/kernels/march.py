@@ -1,0 +1,204 @@
+"""Standalone Pallas sphere-march kernel with an implicit-gradient backward.
+
+The differentiable renderer (diff/vjp.py) marches rays inside the XLA bounce
+loop; at 1080p that march dominates BOTH directions of a training step (the
+forward executes up to 80 map taps per segment, and reverse-mode would tape
+them).  This module moves the march - and only the march - on-chip:
+
+* forward: a Pallas kernel over (tile_h, tile_w) ray tiles running the same
+  bounds -> t-interval-culled march -> final-id re-tap pipeline as the
+  megakernel (kernels/megakernel.py), for ARBITRARY ray planes (secondary
+  bounces included), reference semantics test_compute.glsl:74-89;
+* backward: the O(1)-memory implicit-function gradient of diff/vjp.py
+  (dt*/dtheta = -f_theta / (f_p . rd) at the hit point) evaluated as ONE
+  map vjp in XLA - no tape, no replay.
+
+``make_pallas_cast`` adapts it to the ``cast_fn`` slot of
+render/reference.py:path_trace, so render_pixels_diff can swap the XLA
+march for this kernel without touching the shading/bounce code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import FP
+from ..render.baked import make_bounds_baked, make_map_baked, make_map_baked_d
+from ..render.scenegen import make_bounds, make_map, make_map_culled_d
+from ..scene.compile import SceneSpec
+from ..vecmath import Vec3
+from .megakernel import (
+    _anyhit,
+    _final_idx,
+    _interval_scalars,
+    _march_while,
+    _march_while_tcull,
+)
+
+DEFAULT_TILE = (64, 128)
+
+
+def _make_march_kernel(spec: SceneSpec, geometry: str, t_cull: bool):
+    baked = geometry == "baked"
+    if baked:
+        map_ids = make_map_baked(spec)
+        map_d = make_map_baked_d(spec)
+        bounds_fn = make_bounds_baked(spec, with_t=t_cull)
+    else:
+        from ..render.scenegen import make_map_culled
+
+        map_ids = make_map_culled(spec)
+        map_d = make_map_culled_d(spec)
+        bounds_fn = make_bounds(spec, with_t=t_cull)
+
+    def kernel(gv_ref, rox, roy, roz, rdx, rdy, rdz, t_ref, idx_ref):
+        gv = gv_ref
+        ro = Vec3(rox[:], roy[:], roz[:])
+        rd = Vec3(rdx[:], rdy[:], rdz[:])
+        if t_cull:
+            checks, tns, tfs, _dbg = bounds_fn(ro, rd, gv)
+            ivals = _interval_scalars(checks, tns, tfs)
+            t, tp = _march_while_tcull(map_d, ro, rd, gv, checks, ivals)
+        else:
+            checks, _dbg = bounds_fn(ro, rd, gv)
+            t, tp = _march_while(map_d, ro, rd, gv, checks, _anyhit(checks))
+        anyhit = _anyhit(checks)
+        idx = _final_idx(map_ids, ro, rd, gv, checks, anyhit, t, tp)
+        t_ref[:] = t
+        idx_ref[:] = idx
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "geometry", "t_cull", "tile_h", "tile_w", "interpret"),
+)
+def _march_planes(spec, gv, rox, roy, roz, rdx, rdy, rdz, *,
+                  geometry, t_cull, tile_h, tile_w, interpret):
+    h, w = rox.shape
+    kernel = _make_march_kernel(spec, geometry, t_cull)
+    tile = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(h // tile_h, w // tile_w),
+        in_specs=[smem] + [tile] * 6,
+        out_specs=(tile, tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        interpret=interpret,
+    )(gv, rox, roy, roz, rdx, rdy, rdz)
+    return t, idx
+
+
+def march_pallas(spec: SceneSpec, gv, ro: Vec3, rd: Vec3, *,
+                 geometry: str = "baked", t_cull: bool = True,
+                 tile=DEFAULT_TILE, interpret: bool = False):
+    """March arbitrary (H, W) ray planes on-chip; returns ``(t, idx)``.
+
+    Rays are padded up to tile multiples with benign far-miss rays (origin
+    far outside the scene pointing away: one map tap, immediate far-plane
+    exit) and cropped on return.
+    """
+    h, w = ro.x.shape
+    th, tw = tile
+    th = min(th, max(8, h - h % 8)) if h < th else th
+    ph = -(-h // th) * th
+    pw = -(-w // tw) * tw
+
+    def pad(x, fill):
+        if (ph, pw) == (h, w):
+            return x
+        return jnp.pad(x, ((0, ph - h), (0, pw - w)), constant_values=fill)
+
+    args = (
+        pad(ro.x, 4.0 * FP), pad(ro.y, 0.0), pad(ro.z, 0.0),
+        pad(rd.x, 1.0), pad(rd.y, 0.0), pad(rd.z, 0.0),
+    )
+    t, idx = _march_planes(
+        spec, gv, *args,
+        geometry=geometry, t_cull=t_cull, tile_h=th, tile_w=tw,
+        interpret=interpret,
+    )
+    return t[:h, :w], idx[:h, :w]
+
+
+# Denominator clamp shared with diff/vjp.py's implicit gradient.
+_DENOM_EPS = 1e-6
+
+
+def make_pallas_cast(spec: SceneSpec, *, geometry: str = "baked",
+                     t_cull: bool = True, tile=DEFAULT_TILE,
+                     interpret: bool = False):
+    """Drop-in ``cast_fn`` for path_trace: Pallas march forward, implicit
+    O(1)-memory gradient backward (the custom-vjp design of
+    diff/vjp.py:make_implicit_cast with the 80-tap XLA march replaced by the
+    on-chip kernel in both the primal and the recompute-free backward)."""
+    if geometry == "baked":
+        map_fn = make_map_baked(spec)
+    else:
+        map_fn = make_map(spec)
+
+    @jax.custom_vjp
+    def cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
+        del checks  # the kernel recomputes per-lane guards internally
+        return march_pallas(
+            spec, gv, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
+            geometry=geometry, t_cull=t_cull, tile=tile, interpret=interpret,
+        )
+
+    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
+        t, idx = cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks)
+        return (t, idx), (Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
+                          t, gv, checks)
+
+    def bwd(res, cots):
+        ro, rd, t, gv, checks = res
+        t_cot, _idx_cot = cots
+        p = ro + rd * t
+
+        def f_of_p(px, py, pz, params):
+            d, _ = map_fn(Vec3(px, py, pz), params, checks)
+            return jnp.sum(d)
+
+        _, vjp_fn = jax.vjp(f_of_p, p.x, p.y, p.z, gv)
+        gpx, gpy, gpz, _ = vjp_fn(jnp.float32(1.0))
+        g_p = Vec3(gpx, gpy, gpz)
+        denom = g_p.dot(rd)
+        safe = jnp.abs(denom) > _DENOM_EPS
+        inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+        scale = -t_cot * inv_denom
+
+        def f_theta_seeded(params):
+            d, _ = map_fn(
+                Vec3(lax.stop_gradient(p.x), lax.stop_gradient(p.y),
+                     lax.stop_gradient(p.z)), params, checks)
+            return jnp.sum(d * lax.stop_gradient(scale))
+
+        gv_cot = jax.grad(f_theta_seeded)(gv)
+        ro_cot = g_p * scale
+        rd_cot = g_p * (scale * t)
+        checks_cot = tuple(
+            None if c is None else np.zeros(c.shape, jax.dtypes.float0)
+            for c in checks
+        )
+        return (ro_cot.x, ro_cot.y, ro_cot.z,
+                rd_cot.x, rd_cot.y, rd_cot.z, gv_cot, checks_cot)
+
+    cast.defvjp(fwd, bwd)
+
+    def cast_fn(map_fn_unused, ro, rd, gv, checks):
+        return cast(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, gv, checks)
+
+    return cast_fn

@@ -194,7 +194,7 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
     return jnp.where(t > FP, -1, mi)
 
 
-def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, tns, alive=None,
+def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
                        gaps=None, p_margin=0.05, with_stats=False):
     """Sphere march with PER-STEP t-interval + position-hull shape culling.
 
@@ -382,41 +382,91 @@ def _march_while_ccull(map_cl_d, ro, rd, pv, checks, ivals_u, c_ivals, c_hit,
     return t, tp
 
 
-def _march_while(map_d_fn, ro, rd, pv, checks, alive=None):
-    """Sphere march with tile-uniform early exit.
+def _march_while_ids(map_culled, ro, rd, pv, checks, ivals, gaps=None,
+                     p_margin=0.05):
+    """Round-1-style march carrying the winning id per step (the exact
+    cast_ray fold, reference.py:112-123), with the same per-step interval/
+    gap activation as :func:`_march_while_tcull`.
 
-    Identical lane semantics to render/reference.py:cast_ray (same masking,
-    same |d| < MHD / far-plane conditions); the while_loop additionally stops
-    as soon as EVERY lane in the tile is done, which is where most of the
-    80-step budget is saved (sky tiles exit in a few steps).  ``alive`` marks
-    lanes still live in the bounce loop: dead lanes start done so the
-    early-exit fires as soon as the surviving lanes finish (their t/t_prev
-    outputs are discarded by the caller's masks).
-
-    The march is distance-only: returns ``(t, t_prev)`` with ``t_prev`` the
-    position of each lane's LAST map tap; :func:`_final_idx` re-taps there to
-    recover cast_ray's winning id without carrying per-step int32 selects.
+    Kept for the debug-mode render paths: the faster distance-only fold's
+    guarded selects fail Mosaic layout inference when the march is invoked
+    outside the bounce while_loop (see the debug branch in _make_kernel);
+    this fold compiles everywhere, and a one-march diagnostic mode doesn't
+    feel its extra int32 selects.
     """
     t0 = ro.x * 0.0
-    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
+    done0 = t0.astype(jnp.int32)
+    idx0 = done0 - 1
 
     def cond(c):
-        step, _t, _tp, done_i = c
+        step, _t, _idx, done_i = c
         return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
 
     def body(c):
-        step, t, tp, done_i = c
+        step, t, idx, done_i = c
         done = done_i != 0
-        p = ro + rd * t
-        d = map_d_fn(p, pv, checks)
-        ad = jnp.abs(d)  # absolute step: interior-traversable (see cast_ray)
-        nt = jnp.where(done, t, t + ad)
-        ntp = jnp.where(done, tp, t)
-        ndone = done | (ad < MHD) | (nt > FP)
-        return step + 1, nt, ntp, ndone.astype(jnp.int32)
+        t_hi = jnp.max(jnp.where(done, -_BIG, t))
+        t_lo = jnp.min(jnp.where(done, _BIG, t))
 
-    _, t, tp, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, t0, done0))
-    return t, tp
+        active = []
+        m = jnp.float32(_BIG)
+        g = jnp.float32(_BIG)
+        for si, iv in enumerate(ivals):
+            if iv is None:
+                active.append(None)
+                continue
+            any_h, tn_min, tf_max = iv
+            not_reached = tn_min > t_hi
+            act = any_h & ~not_reached & (tf_max >= t_lo)
+            if gaps is not None and gaps[si] is not None:
+                near = gaps[si] <= t_hi + p_margin
+                act = act & near
+                g = jnp.where(any_h & ~near, jnp.minimum(g, gaps[si]), g)
+            active.append(act)
+            m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
+
+        p = ro + rd * t
+        d, mi = map_culled(p, pv, checks, tuple(active))
+        ad = jnp.abs(d)
+        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g - t), MHD))
+        nt = jnp.where(done, t, t + step_len)
+        nidx = jnp.where(done, idx, mi)
+        far = nt > FP
+        nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
+        ndone = done | (ad < MHD) | far
+        return step + 1, nt, nidx, ndone.astype(jnp.int32)
+
+    _, t, idx, _ = lax.while_loop(cond, body, (jnp.int32(0), t0, idx0, done0))
+    return t, idx
+
+
+def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
+    """Sphere march with bounce-level anyhit culling only - exact cast_ray
+    trajectories (render/reference.py:86-126; no per-step interval
+    activation and no step clamps that a live lane can feel).
+
+    Implemented as :func:`_march_while_tcull` over TRIVIAL intervals
+    ([0, _BIG] for every anyhit shape): activation reduces to the anyhit
+    scalar exactly, the pending clamp never binds before the far plane (the
+    only reachable clamp is the final far overshoot, whose t lands > FP
+    either way and whose lane outputs are miss-masked), and - the real
+    reason - it reuses the one march formulation Mosaic's layout inference
+    compiles on hardware.  The textbook while_loop with loop-invariant
+    anyhit lax.conds fails Mosaic with "Invalid relayout: non-singleton
+    logical dimension is replicated" at the guard selects; deriving the
+    per-step actives from in-loop reductions (as the t-cull body does)
+    avoids the replicated-layout join.  Caught by the `pytest -m tpu`
+    hardware lane; interpret mode never sees the difference.
+
+    Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
+    """
+    zero = jnp.float32(0.0)
+    big = jnp.float32(_BIG)
+    ivals = tuple(
+        None if a is None else (a, zero, big) for a in anyhit
+    )
+    return _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals,
+                              alive=alive)
 
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
@@ -516,7 +566,7 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                 gaps = (_gap_scalars(pv, box_offs, ro, alive)
                         if box_offs is not None else None)
                 out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
-                                         ivals, tns, alive=alive, gaps=gaps,
+                                         ivals, alive=alive, gaps=gaps,
                                          with_stats=stats)
                 if stats:
                     t, tp, msteps, mact = out
@@ -525,10 +575,8 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                 else:
                     t, tp = out
             else:
-                def map_d_fn(p, pv_, checks_):
-                    return map_d_culled(p, pv_, checks_, anyhit)
-
-                t, tp = _march_while(map_d_fn, ro, rd, pv, checks, alive=alive)
+                t, tp = _march_while(map_d_culled, ro, rd, pv, checks,
+                                     anyhit, alive=alive)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
@@ -756,26 +804,35 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     zero2 + aux_tot,
                 )
             elif debug in (1, 2):
+                # Debug modes march with the round-1 ID-CARRYING fold
+                # (_march_while_ids): the distance-only map's guarded-select
+                # conds fail Mosaic layout inference when invoked outside
+                # the debug-0 bounce loop ("Invalid relayout ... replicated
+                # in destination but not in source", caught by `pytest -m
+                # tpu`); the ids fold compiles everywhere and these paths
+                # are single-march diagnostics where its extra int32 selects
+                # cost nothing measurable.
                 if t_cull:
                     checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
                     ivals = _interval_scalars(checks, tns, tfs)
+                    gaps = (_gap_scalars(pv, box_offs, ro, None)
+                            if box_offs is not None else None)
                 else:
                     checks, dbg = bounds_fn(ro, rd, pv)
+                    zero_s = jnp.float32(0.0)
+                    big_s = jnp.float32(_BIG)
+                    ivals = tuple(
+                        None if a is None else (a, zero_s, big_s)
+                        for a in _anyhit(checks)
+                    )
+                    gaps = None
                 anyhit = _anyhit(checks)
 
                 def map_fn(p, pv_, checks_):
-                    return map_d_culled(p, pv_, checks_, anyhit), None
+                    return map_culled(p, pv_, checks_, anyhit)
 
-                if t_cull:
-                    gaps = (_gap_scalars(pv, box_offs, ro, None)
-                            if box_offs is not None else None)
-                    t, tp = _march_while_tcull(map_d_culled, ro, rd, pv,
-                                               checks, ivals, tns, gaps=gaps)
-                else:
-                    def map_d_fn(p, pv_, checks_):
-                        return map_d_culled(p, pv_, checks_, anyhit)
-
-                    t, tp = _march_while(map_d_fn, ro, rd, pv, checks)
+                t, idx = _march_while_ids(map_culled, ro, rd, pv, checks,
+                                          ivals, gaps=gaps)
                 if debug == 1:
                     # normals + AABB tint (test_compute.glsl:170-179)
                     n = normal_fn(map_fn, ro + rd * t, pv, checks)
@@ -783,7 +840,6 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     col = vwhere(t > FP, Vec3.splat(dbg), shaded)
                 else:
                     # first-hit albedo (test_compute.glsl:183-195)
-                    idx = _final_idx(map_culled, ro, rd, pv, checks, anyhit, t, tp)
                     col = gather_mat(idx).col
             else:
                 col = Vec3.splat(jnp.zeros((sub_rows, tile_w), jnp.float32))

@@ -18,6 +18,17 @@ scatter-add has a single contribution per pixel and no reassociation.
 
 ``bounces`` is static here (the XLA loop is unrolled); the bounce budget is
 a Settings slider with range <= 32 (path_tracer.rs:159).
+
+STATUS: EXPERIMENTAL / FROZEN (round-2 decision).  Measured on v5e at
+1080p/64-prim/8-bounce: 2.13 s/frame vs 0.29 s for the megakernel; the
+XLA compaction glue costs ~190 ms/bounce and per-bounce ray sorting to
+restore direction coherence costs more than it saves (jnp.argsort over 2M
+keys ~1 s/frame).  Round-2 diagnostics (benchmarks/diagnose.py) showed the
+megakernel's bounce-liveness masking + envelope culling already capture most
+of the decay this design targets, and its map work runs near the VPU's
+dependent-chain rate - a counting-sort binning pass cannot close a 7x glue
+gap.  Kept as a correct, tested alternative architecture; not on the
+perf roadmap.  (ROADMAP.md "Wavefront findings".)
 """
 
 from __future__ import annotations
@@ -105,10 +116,10 @@ def _make_bounce_kernel(spec: SceneSpec):
             def map_fn(p, pv_, checks_):
                 return map_culled(p, pv_, checks_, anyhit)
 
-            def map_d_fn(p, pv_, checks_):
-                return map_culled(p, pv_, checks_, anyhit)[0]
+            def map_d_culled(p, pv_, checks_, acts):
+                return map_culled(p, pv_, checks_, acts)[0]
 
-            t, tp = _march_while(map_d_fn, ro, rd, pv, checks)
+            t, tp = _march_while(map_d_culled, ro, rd, pv, checks, anyhit)
             idx = _final_idx(map_culled, ro, rd, pv, checks, anyhit, t, tp)
 
             # Shading: one iteration of the reference bounce loop

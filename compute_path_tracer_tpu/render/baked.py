@@ -442,7 +442,7 @@ def _union_cull_pred(bu: BakedUnion, anyhit):
 
 def _eval_union(bu: BakedUnion, p, bv, checks, anyhit):
     def evaluate(_):
-        acc_d = jnp.full_like(p.x, 1.0) * bv[bu.init_off]
+        acc_d = p.x * 0.0 + bv[bu.init_off]
         acc_i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
@@ -464,7 +464,7 @@ def _eval_union(bu: BakedUnion, p, bv, checks, anyhit):
         return acc_d, acc_i
 
     def skip(_):
-        d = jnp.full_like(p.x, 1.0) * bv[bu.empty_off]
+        d = p.x * 0.0 + bv[bu.empty_off]
         return d, jnp.full(p.x.shape, -1, dtype=jnp.int32)
 
     if anyhit is None:
@@ -534,7 +534,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
     """
 
     def evaluate(_):
-        acc_d = jnp.full_like(p.x, 1.0) * bv[bu.init_off]
+        acc_d = p.x * 0.0 + bv[bu.init_off]
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
             cd = _eval_union_d(cu, p, bv, checks, anyhit, group)
@@ -572,7 +572,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
         return acc_d
 
     def skip(_):
-        return jnp.full_like(p.x, 1.0) * bv[bu.empty_off]
+        return p.x * 0.0 + bv[bu.empty_off]
 
     if anyhit is None:
         return evaluate(None)
@@ -686,7 +686,7 @@ def _eval_union_d_cl(bu: BakedUnion, p, bv, checks, sact, cact, shape_cluster):
     span_start = {cl.child_span[0]: cl for cl in bu.clusters}
 
     def evaluate(_):
-        acc_d = jnp.full_like(p.x, 1.0) * bv[bu.init_off]
+        acc_d = p.x * 0.0 + bv[bu.init_off]
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
             cd = _eval_union_d_cl(cu, p, bv, checks, sact, cact, shape_cluster)
@@ -718,7 +718,7 @@ def _eval_union_d_cl(bu: BakedUnion, p, bv, checks, sact, cact, shape_cluster):
         return acc_d
 
     def skip(_):
-        return jnp.full_like(p.x, 1.0) * bv[bu.empty_off]
+        return p.x * 0.0 + bv[bu.empty_off]
 
     pred = _union_pred_cl(bu, sact, cact, shape_cluster)
     if pred is True:

@@ -224,11 +224,11 @@ def _eval_union_culled(us: UnionSpec, p: Vec3, pv, checks, anyhit):
     if pred is True:
         return evaluate(None)
     if pred is False:
-        d = jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+        d = p.x * 0.0 + _empty_union_value(us, pv)
         return d, jnp.full(p.x.shape, -1, dtype=jnp.int32)
 
     def skip(_):
-        d = jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+        d = p.x * 0.0 + _empty_union_value(us, pv)
         return d, jnp.full(p.x.shape, -1, dtype=jnp.int32)
 
     return jax.lax.cond(pred, evaluate, skip, None)
@@ -296,7 +296,7 @@ def _eval_union_culled_d(us: UnionSpec, p: Vec3, pv, checks, anyhit):
         return acc_d * s
 
     def skip(_):
-        return jnp.full_like(p.x, 1.0) * _empty_union_value(us, pv)
+        return p.x * 0.0 + _empty_union_value(us, pv)
 
     if anyhit is None:
         return evaluate(None)

@@ -19,7 +19,7 @@ from .compile import (
     compile_scene,
 )
 from .io import list_maps, load_map, load_scene, save_map, save_scene
-from .library import benchmark_scene, blend_demo, csg_demo, glass_demo, sphere_and_plane
+from .library import benchmark_scene, blend_demo, csg_demo, edge_demo, glass_demo, sphere_and_plane
 from .model import (
     KIND_CUBE,
     KIND_OCTAHEDRON,
@@ -54,6 +54,7 @@ __all__ = [
     "benchmark_scene",
     "blend_demo",
     "csg_demo",
+    "edge_demo",
     "glass_demo",
     "sphere_and_plane",
     "KIND_CUBE",

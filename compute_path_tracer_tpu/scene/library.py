@@ -230,3 +230,16 @@ def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:
         _set_mat(lamp, color=(0.0, 0.0, 0.0), brightness=8.0, light=(1.0, 0.93, 0.85))
 
     return Scene([root], name=f"benchmark_{n_prims}")
+
+
+def edge_demo() -> Scene:
+    """A flat-lit (emissive-only) sphere on black: radiance is constant
+    inside the silhouette, so position gradients exist ONLY at the edge -
+    the showcase scene for reparameterized edge gradients
+    (diff/vjp.py edge_grad; CLI: optimize --edge-grad --perturb-what
+    position --scene edge_demo --bounces 0)."""
+    root = Union(name="Root")
+    ball = root.add_shape(Shape(KIND_SPHERE, name="Ball"))
+    ball.size.set(0.8)
+    _set_mat(ball, color=(0.0, 0.0, 0.0), brightness=2.0, light=(1.0, 0.9, 0.7))
+    return Scene([root], name="edge_demo")

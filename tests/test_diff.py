@@ -111,3 +111,22 @@ def test_inverse_rendering_recovers(cs):
     got = np.asarray(result.params)[perturb_slots]
     want = np.asarray(p_true)[perturb_slots]
     np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_pallas_march_cast_bit_matches_xla(cs):
+    """The on-chip march cast (kernels/march.py) must produce bit-identical
+    rendered values AND parameter gradients to the XLA implicit march in
+    interpret mode (same map closures, same implicit backward)."""
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=W, height=H, bounces=1, geometry="baked")
+    a = render_image_diff(cs.spec, pv, **kw)
+    b = render_image_diff(cs.spec, pv, march="pallas", march_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    target = np.asarray(a) * 0.9
+    ga = jax.grad(make_loss(cs.spec, target, **kw))(pv)
+    gb = jax.grad(
+        make_loss(cs.spec, target, march="pallas", march_interpret=True, **kw)
+    )(pv)
+    assert np.isfinite(np.asarray(gb)).all()
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))

@@ -1,0 +1,136 @@
+"""Real-hardware lane: Mosaic-compile the kernels on an actual TPU chip.
+
+Run with ``pytest -m tpu tests/`` (the conftest keeps the ambient TPU
+platform for this lane).  The default CPU suite exercises the same code in
+interpret mode; this lane exists because Mosaic LOWERING can fail where the
+interpreter succeeds (the known case: the AD-normal transpose at 64 prims,
+xfailed below) and because the bench configuration should never be validated
+by bench.py alone.
+
+Oracles run on the host CPU backend inside the same process (cheap compiles,
+platform-independent reference values); comparisons use small tolerances for
+cross-platform fp differences, with the reference's deterministic debug
+modes (normals/albedo, test_compute.glsl:170-195) as the cheap fixtures
+SURVEY.md §4 prescribes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+W, H, BOUNCES = 128, 64, 2
+
+
+@pytest.fixture(scope="module")
+def cs():
+    from compute_path_tracer_tpu.scene import compile_scene, csg_demo
+
+    return compile_scene(csg_demo())
+
+
+@pytest.fixture(scope="module")
+def cpu():
+    return jax.devices("cpu")[0]
+
+
+def _oracle_cpu(cpu, cs, **kw):
+    from compute_path_tracer_tpu.render import render_frame
+
+    with jax.default_device(cpu):
+        return np.asarray(
+            render_frame(cs.spec, jnp.asarray(cs.params), width=W, height=H, **kw)
+        )
+
+
+def test_device_is_tpu():
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+
+
+def test_debug_modes_match_cpu_oracle(cs, cpu):
+    """Deterministic debug fixtures (albedo + normals) compiled by Mosaic on
+    the chip vs the CPU oracle."""
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+
+    for debug, tol in ((2, 1e-5), (1, 1e-3)):
+        got = np.asarray(
+            render_frame_pallas(
+                cs.spec, jnp.asarray(cs.params), width=W, height=H,
+                debug=debug, geometry="baked",
+            )
+        )
+        want = _oracle_cpu(cpu, cs, debug=debug, geometry="baked")
+        bad = np.abs(got - want).max(axis=2) > tol
+        assert bad.mean() < 0.005, f"debug={debug}: {bad.mean():.4f} pixels differ"
+
+
+def test_bench_config_path_trace_matches_cpu_oracle(cs, cpu):
+    """The bench configuration (baked + t-interval culling) on hardware vs
+    the CPU oracle full path trace: same RNG stream, so differences are
+    cross-platform fp + the documented eps-level culling cases."""
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+
+    got = np.asarray(
+        render_frame_pallas(
+            cs.spec, jnp.asarray(cs.params), width=W, height=H, debug=0,
+            bounces=BOUNCES, frame=3, last_clear=3,
+            geometry="baked", t_cull=True,
+        )
+    )
+    want = _oracle_cpu(
+        cpu, cs, debug=0, bounces=BOUNCES, frame=3, last_clear=3,
+        geometry="baked",
+    )
+    bad = np.abs(got - want).max(axis=2) > 1e-2
+    assert bad.mean() < 0.01, f"{bad.mean():.4f} pixels differ"
+
+
+def test_march_kernel_grads_finite_on_chip(cs):
+    """fwd+bwd of the Pallas-march training step compiles and yields finite
+    gradients on hardware (the implicit backward's map vjp included)."""
+    from compute_path_tracer_tpu.diff import make_loss
+
+    target = np.zeros((H, W, 3), np.float32)
+    loss = make_loss(
+        cs.spec, target, width=W, height=H, bounces=1,
+        geometry="baked", march="pallas",
+    )
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(cs.params))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_benchmark_scene_compiles_on_chip():
+    """The 64-prim benchmark scene's megakernel Mosaic-compiles and runs at
+    reduced resolution (guards the bench.py configuration)."""
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
+
+    bs = compile_scene(benchmark_scene(64))
+    img = np.asarray(
+        render_frame_pallas(
+            bs.spec, jnp.asarray(bs.params), width=256, height=128, debug=0,
+            bounces=2, geometry="baked", t_cull=True,
+        )
+    )
+    assert np.isfinite(img).all() and img.shape == (128, 256, 3)
+
+
+@pytest.mark.xfail(
+    reason="Mosaic cannot compile the AD-normal transpose at 64 prims "
+    "(megakernel normals='autodiff'); tracked in ROADMAP", strict=False,
+)
+def test_autodiff_normals_64_prims():
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
+
+    bs = compile_scene(benchmark_scene(64))
+    img = np.asarray(
+        render_frame_pallas(
+            bs.spec, jnp.asarray(bs.params), width=128, height=64, debug=1,
+            geometry="baked", normals="autodiff",
+        )
+    )
+    assert np.isfinite(img).all()
