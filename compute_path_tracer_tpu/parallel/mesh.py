@@ -201,6 +201,11 @@ def render_samples_sharded(
     bounces: int = DEFAULT_BOUNCES,
     fov: float = DEFAULT_FOV,
     aspect: float = None,
+    backend: str = "oracle",
+    tile: tuple = None,
+    geometry: str = "baked",
+    t_cull: bool = True,
+    interpret: bool = None,
 ):
     """Sample (ray-batch) parallelism: every chip renders the FULL image with
     a disjoint set of frame indices (= RNG sample streams), and the running
@@ -211,10 +216,50 @@ def render_samples_sharded(
     fixed resolution.  The result equals a single-chip progressive
     accumulation of ``n_devices * frames_per_device`` frames starting at
     ``frame0`` (the running mean is frame-order invariant).
+
+    ``backend="pallas"`` runs each chip's frame loop through the MEGAKERNEL
+    with the accumulator held planar on-device (the fused accumulation of
+    kernels/megakernel.py), psum-ing only the final mean.
     """
     if aspect is None:
         aspect = width / height
     n = mesh.devices.size
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    if backend == "pallas":
+        from ..kernels.megakernel import DEFAULT_TILE, _pallas_frame_planes
+
+        th, tw = tile or DEFAULT_TILE
+        th = min(th, -(-height // 8) * 8) if height < th else th
+        ph = -(-height // th) * th
+        pw = -(-width // tw) * tw
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                 check_vma=False)
+        def run_pallas(params):
+            dev = lax.axis_index(TILE_AXIS)
+            acc0 = jnp.zeros((3, ph, pw), jnp.float32) + dev.astype(jnp.float32) * 0.0
+
+            def body(k, accum):
+                # Disjoint RNG stream per (chip, k); the chip-local running
+                # mean weights by k, so psum/n is the global equal-weight
+                # mean over all n * frames_per_device frames.
+                f = frame0 + dev * frames_per_device + k
+                return _pallas_frame_planes(
+                    spec, params, accum, f, k,
+                    jnp.int32(bounces), jnp.float32(fov), jnp.float32(aspect),
+                    width=width, height=height, debug=0,
+                    tile_h=th, tile_w=tw,
+                    geometry=geometry, t_cull=t_cull, interpret=interpret,
+                )
+
+            acc = lax.fori_loop(0, frames_per_device, body, acc0)
+            img = jnp.transpose(acc[:, :height, :width], (1, 2, 0))
+            return lax.psum(img, TILE_AXIS) / n
+
+        return run_pallas(jnp.asarray(params, jnp.float32))
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
@@ -251,6 +296,9 @@ def make_sharded_train_step(
     fov: float = DEFAULT_FOV,
     aspect: float = None,
     learning_rate: float = 2e-2,
+    march: str = "xla",
+    geometry: str = "faithful",
+    march_interpret: bool = None,
 ):
     """Build the distributed inverse-rendering training step.
 
@@ -262,7 +310,11 @@ def make_sharded_train_step(
     diff/inverse.py.
 
     ``bounces`` is static so the bounce loop is a scan (reverse-mode
-    differentiable).
+    differentiable).  ``march="pallas"`` marches each band's rays with the
+    on-chip kernel in BOTH directions (kernels/march.py: Pallas forward +
+    implicit-gradient custom_vjp) - the sharded training step then never
+    runs an 80-tap march in XLA, matching the single-chip fwd+bwd bench
+    configuration.
     """
     if aspect is None:
         aspect = width / height
@@ -270,6 +322,8 @@ def make_sharded_train_step(
     if height % n:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
     denom = float(width * height * 3)
+    if march_interpret is None:
+        march_interpret = jax.devices()[0].platform != "tpu"
 
     # Forward-only sharded sum of squared error; differentiation happens
     # OUTSIDE the shard_map region so its AD inserts the correct psums for
@@ -282,14 +336,25 @@ def make_sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(TILE_AXIS), P()),
         out_specs=P(),
+        check_vma=False,
     )
     def sse(params, target_band, frame):
         xs, ys = _band_coords(height, width, n)
-        col = render_pixels(
-            spec, params, xs, ys, frame, bounces,
-            jnp.float32(fov), jnp.float32(aspect),
-            width=width, height=height, debug=0,
-        ).stack()
+        if march == "pallas":
+            from ..diff.vjp import render_pixels_diff
+
+            col = render_pixels_diff(
+                spec, params, xs, ys, frame, bounces,
+                jnp.float32(fov), jnp.float32(aspect),
+                width=width, height=height, geometry=geometry,
+                march="pallas", march_interpret=march_interpret,
+            ).stack()
+        else:
+            col = render_pixels(
+                spec, params, xs, ys, frame, bounces,
+                jnp.float32(fov), jnp.float32(aspect),
+                width=width, height=height, debug=0,
+            ).stack()
         return lax.psum(jnp.sum((col - target_band) ** 2), TILE_AXIS)
 
     @jax.jit

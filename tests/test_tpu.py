@@ -87,19 +87,32 @@ def test_bench_config_path_trace_matches_cpu_oracle(cs, cpu):
     assert bad.mean() < 0.01, f"{bad.mean():.4f} pixels differ"
 
 
-def test_march_kernel_grads_finite_on_chip(cs):
-    """fwd+bwd of the Pallas-march training step compiles and yields finite
-    gradients on hardware (the implicit backward's map vjp included)."""
+def test_march_kernel_grads_match_cpu_oracle(cs, cpu):
+    """fwd+bwd of the Pallas-march training step on hardware vs the CPU
+    oracle's implicit-march gradient (the BASELINE.json correctness config:
+    param-gradient allclose against the CPU reference)."""
     from compute_path_tracer_tpu.diff import make_loss
 
     target = np.zeros((H, W, 3), np.float32)
-    loss = make_loss(
-        cs.spec, target, width=W, height=H, bounces=1,
-        geometry="baked", march="pallas",
-    )
-    val, grad = jax.value_and_grad(loss)(jnp.asarray(cs.params))
+    kw = dict(width=W, height=H, bounces=1, geometry="baked")
+    pv = jnp.asarray(cs.params)
+
+    loss_tpu = make_loss(cs.spec, target, march="pallas", **kw)
+    val, grad = jax.value_and_grad(loss_tpu)(pv)
+    grad = np.asarray(grad)
     assert np.isfinite(float(val))
-    assert np.isfinite(np.asarray(grad)).all()
+    assert np.isfinite(grad).all()
+
+    with jax.default_device(cpu):
+        loss_cpu = make_loss(cs.spec, target, **kw)
+        val_c, grad_c = jax.value_and_grad(loss_cpu)(jnp.asarray(cs.params))
+    np.testing.assert_allclose(float(val), float(val_c), rtol=1e-4)
+    grad_c = np.asarray(grad_c)
+    # rtol 1e-4 on every coordinate that carries meaningful signal; tiny
+    # coordinates are compared against the gradient's scale (cross-platform
+    # transcendental ulps can flip isolated RNG branches).
+    scale = np.abs(grad_c).max()
+    np.testing.assert_allclose(grad, grad_c, rtol=1e-4, atol=1e-4 * scale)
 
 
 def test_benchmark_scene_compiles_on_chip():
