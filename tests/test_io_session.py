@@ -98,3 +98,30 @@ def test_session_save_image(tmp_path):
     sess.save_image(p)
     img = load_png_rgba(p)
     assert img.shape == (16, 16, 4)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The Orbax backend round-trips the same logical checkpoint contents as
+    the npz format (scene + params + accumulator + frame counters)."""
+    import numpy as np
+
+    from compute_path_tracer_tpu.io.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+    from compute_path_tracer_tpu.scene import compile_scene, sphere_and_plane
+
+    scene = sphere_and_plane()
+    cs = compile_scene(scene)
+    accum = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "ckpt")
+    save_checkpoint_orbax(
+        p, scene=scene, params=np.asarray(cs.params), accum=accum,
+        frame=7, last_clear=3, extra={"note": np.int32(42)},
+    )
+    out = load_checkpoint_orbax(p)
+    assert out["frame"] == 7 and out["last_clear"] == 3
+    np.testing.assert_array_equal(np.asarray(out["params"]), np.asarray(cs.params))
+    np.testing.assert_array_equal(np.asarray(out["accum"]), accum)
+    assert int(out["extra"]["note"]) == 42
+    assert out["scene"].name == scene.name
