@@ -88,3 +88,36 @@ def test_kernel_accumulation_matches():
             width=W, height=H, debug=0, bounces=1,
         )
     np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_r), atol=0.0)
+
+
+def test_march_pallas_matches_cast_ray_on_scattered_rays():
+    """The standalone march kernel (kernels/march.py) on arbitrary
+    secondary-style ray planes (scattered origins/directions, non-tile
+    shapes exercising the padding path) must reproduce the oracle cast_ray
+    exactly with culling off."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from compute_path_tracer_tpu.kernels.march import march_pallas
+    from compute_path_tracer_tpu.render.baked import bake, make_bounds_baked, make_map_baked
+    from compute_path_tracer_tpu.render.reference import cast_ray
+    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
+    from compute_path_tracer_tpu.vecmath import Vec3
+
+    cs = compile_scene(benchmark_scene(16))
+    bv = bake(cs.spec, jnp.asarray(cs.params))
+    rng = np.random.default_rng(3)
+    h, w = 21, 97  # deliberately unaligned: forces benign-ray padding
+    ro = Vec3(*(jnp.asarray(rng.uniform(-4, 4, (h, w)), jnp.float32) for _ in range(3)))
+    d = rng.normal(size=(3, h, w)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    rd = Vec3(*(jnp.asarray(c) for c in d))
+
+    t_k, idx_k = march_pallas(cs.spec, bv, ro, rd, geometry="baked",
+                              t_cull=False, interpret=True, tile=(8, 128))
+
+    map_fn = make_map_baked(cs.spec)
+    checks, _ = make_bounds_baked(cs.spec)(ro, rd, bv)
+    t_o, idx_o = cast_ray(map_fn, ro, rd, bv, checks)
+    np.testing.assert_array_equal(np.asarray(t_k), np.asarray(t_o))
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_o))
