@@ -60,3 +60,27 @@ def test_info(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["platform"] == "cpu"
     assert out["global_devices"] == 8
+
+
+def test_optimize_position_recovery_cli(capsys):
+    rc = main([
+        "optimize", "--scene", "edge_demo", "--width", "24", "--height", "24",
+        "--bounces", "0", "--steps", "5", "--perturb", "0.2",
+        "--perturb-what", "position", "--edge-grad", "--lr", "0.05",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "position slot" in out and "recovered" in out
+
+
+def test_demo_cli_seeds_and_renders(tmp_path, capsys):
+    scene = str(tmp_path / "live.json")
+    out = str(tmp_path / "live.png")
+    rc = main([
+        "demo", "--scene", scene, "--seed", "sphere_and_plane",
+        "--width", "16", "--height", "16", "--frames", "1", "--bounces", "0",
+        "--debug", "2", "--out", out, "--max-events", "0",
+    ])
+    assert rc == 0
+    assert os.path.exists(scene) and os.path.exists(out)
+    assert "seeded" in capsys.readouterr().out
