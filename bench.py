@@ -115,7 +115,7 @@ def bench_forward(cs):
     return out
 
 
-def bench_fwd_bwd(cs):
+def bench_fwd_bwd(cs, normals="central"):
     import jax
     import numpy as np
 
@@ -126,16 +126,18 @@ def bench_fwd_bwd(cs):
     try:
         loss = make_loss(
             cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
-            geometry="baked", march=march,
+            geometry="baked", march=march, normals=normals,
         )
         vg = jax.jit(jax.value_and_grad(loss))
         _, g = vg(cs.params)
         np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
     except Exception:
         march = "xla"
+        if normals == "kernel":  # needs the pallas march; no xla fallback
+            raise
         loss = make_loss(
             cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
-            geometry="baked", march=march,
+            geometry="baked", march=march, normals=normals,
         )
         vg = jax.jit(jax.value_and_grad(loss))
         _, g = vg(cs.params)
@@ -149,13 +151,15 @@ def bench_fwd_bwd(cs):
 
     rays = WIDTH * HEIGHT * (BOUNCES + 1)
     value = rays / dt
+    label = "" if normals == "central" else f", normals={normals}"
     return {
         "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
-        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces",
+        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces{label}",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / 1e9,
         "march": march,
+        "normals": normals,
         "step_ms": dt * 1e3,
         "grad_finite": bool(np.isfinite(np.asarray(g)).all()),
         "device": str(jax.devices()[0]),
@@ -175,8 +179,9 @@ def main():
         spec = compiled.spec
         params = jnp.asarray(compiled.params, jnp.float32)
 
-    # fwd+bwd first; the HEADLINE forward metric prints LAST so a
-    # tail-parsing driver records it.
+    # fwd+bwd first (faithful gradient, then the fast-gradient training
+    # config with in-kernel detached normals); the HEADLINE forward metric
+    # prints LAST so a tail-parsing driver records it.
     try:
         print(json.dumps(bench_fwd_bwd(_CS)), flush=True)
     except Exception as e:
@@ -184,6 +189,16 @@ def main():
             "metric": "fwd+bwd train-step rays/s/chip",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
+    import os
+
+    if not os.environ.get("BENCH_SKIP_FASTGRAD"):
+        try:
+            print(json.dumps(bench_fwd_bwd(_CS, normals="kernel")), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "fwd+bwd train-step rays/s/chip, normals=kernel",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
     print(json.dumps(bench_forward(_CS)), flush=True)
     return 0
 

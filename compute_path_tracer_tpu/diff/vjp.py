@@ -227,6 +227,7 @@ def render_pixels_diff(
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
+    remat: bool = False,
 ) -> Vec3:
     """Differentiable path-traced pixels: static bounce count (scan loops)
     and, with ``implicit=True``, the O(1)-memory march backward.
@@ -235,7 +236,16 @@ def render_pixels_diff(
     reverse-mode map gradient (render/reference.py:calc_normal_autodiff):
     ~3x fewer map taps in the XLA shading graph and a cheaper second-order
     term in the backward; values differ from the reference's eps=1e-4 finite
-    difference at sub-eps level.
+    difference at sub-eps level.  ``normals="detached"`` keeps the
+    reference's central difference in the forward (values bit-identical to
+    "central") but stop-gradients it, pruning the normal taps' reverse sweep
+    - the dominant backward cost - at the price of dropping the second-order
+    shading-normal gradient term (a standard approximation in differentiable
+    rendering; geometry gradients still flow via the implicit hit-t and the
+    edge estimator).  ``normals="kernel"`` (requires ``march="pallas"``) is
+    the fused form of "detached": the march kernel itself emits the culled
+    6-tap normal, so the forward taps leave XLA too - the fast-gradient
+    configuration for training at scale.
 
     ``march="pallas"`` swaps the XLA sphere march for the on-chip kernel
     (kernels/march.py) in BOTH directions: the forward runs the Pallas
@@ -299,21 +309,51 @@ def render_pixels_diff(
         width, height, aspect,
     )
     ro, rd = primary_ray(u, v, fov)
+    kernel_normal_fn = None
     if march == "pallas":
-        from ..kernels.march import make_pallas_cast
+        from ..kernels.march import make_pallas_cast, make_pallas_cast_with_normal
 
-        cast_fn = make_pallas_cast(
-            spec, geometry=geometry, interpret=march_interpret
-        )
+        if normals == "kernel":
+            cast_fn, kernel_normal_fn = make_pallas_cast_with_normal(
+                spec, geometry=geometry, interpret=march_interpret
+            )
+        else:
+            cast_fn = make_pallas_cast(
+                spec, geometry=geometry, interpret=march_interpret
+            )
     else:
+        if normals == "kernel":
+            raise ValueError('normals="kernel" requires march="pallas"')
         cast_fn = make_implicit_cast(map_fn)
     normal_fn = None
-    if normals == "autodiff":
+    if normals == "kernel":
+        # Fused realization of "detached": 6-tap normal computed inside the
+        # march kernel (kernels/march.py:make_pallas_cast_with_normal) and
+        # stop-gradiented - no normal tap executes in XLA in either
+        # direction of the training step.
+        normal_fn = kernel_normal_fn
+    elif normals == "autodiff":
         def normal_fn(map_fn_, p, pv_, checks_, _idx):
             return _ref.calc_normal_autodiff(map_fn_, p, pv_, checks_)
+    elif normals == "detached":
+        # Standard differentiable-rendering approximation: treat the surface
+        # normal as a constant of the backward pass.  The rendered VALUE is
+        # bit-identical to normals="central"; the gradient drops the
+        # second-order shading-normal term (dL/dn * dn/dtheta) whose reverse
+        # sweep re-differentiates all 6 central-difference map taps per
+        # bounce segment - the single most expensive part of the XLA
+        # backward at scale.  Geometry signal still flows through the
+        # implicit hit-t and the edge estimator; materials are first-order
+        # and unaffected.  Opt-in; default stays faithful.
+        def normal_fn(map_fn_, p, pv_, checks_, _idx):
+            sg = lax.stop_gradient
+            n = _ref.calc_normal(
+                map_fn_, Vec3(sg(p.x), sg(p.y), sg(p.z)), sg(pv_), checks_
+            )
+            return Vec3(sg(n.x), sg(n.y), sg(n.z))
     col, _ = _ref.path_trace(
         map_fn, bounds_fn, gather_mat, ro, rd, gv, rng, bounces,
-        cast_fn=cast_fn, normal_fn=normal_fn,
+        cast_fn=cast_fn, normal_fn=normal_fn, remat=remat,
     )
     if edge_grad:
         from ..constants import MHD
@@ -346,7 +386,7 @@ def render_pixels_diff(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "spp", "implicit",
                      "geometry", "edge_grad", "edge_beta", "march",
-                     "march_interpret", "normals"),
+                     "march_interpret", "normals", "remat"),
 )
 def render_image_diff(
     spec: SceneSpec,
@@ -365,6 +405,7 @@ def render_image_diff(
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
+    remat: bool = False,
 ):
     """Differentiable full-frame render, averaging ``spp`` RNG streams
     (frames) per pixel.  Returns (H, W, 3)."""
@@ -379,7 +420,7 @@ def render_image_diff(
             jnp.float32(fov), jnp.float32(aspect),
             width=width, height=height, implicit=implicit, geometry=geometry,
             edge_grad=edge_grad, edge_beta=edge_beta, march=march,
-            march_interpret=march_interpret, normals=normals,
+            march_interpret=march_interpret, normals=normals, remat=remat,
         ).stack()
 
     acc = one(jnp.int32(0))
@@ -403,6 +444,7 @@ def make_loss(
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
+    remat: bool = False,
 ):
     """MSE-to-target loss over a differentiable render; use with jax.grad."""
     target = jnp.asarray(target, jnp.float32)
@@ -412,7 +454,7 @@ def make_loss(
             spec, params, width=width, height=height, bounces=bounces,
             spp=spp, implicit=implicit, geometry=geometry,
             edge_grad=edge_grad, edge_beta=edge_beta, march=march,
-            march_interpret=march_interpret, normals=normals,
+            march_interpret=march_interpret, normals=normals, remat=remat,
         )
         return jnp.mean((img - target) ** 2)
 

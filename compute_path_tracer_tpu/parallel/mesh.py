@@ -299,6 +299,7 @@ def make_sharded_train_step(
     march: str = "xla",
     geometry: str = "faithful",
     march_interpret: bool = None,
+    normals: str = "central",
 ):
     """Build the distributed inverse-rendering training step.
 
@@ -314,7 +315,9 @@ def make_sharded_train_step(
     on-chip kernel in BOTH directions (kernels/march.py: Pallas forward +
     implicit-gradient custom_vjp) - the sharded training step then never
     runs an 80-tap march in XLA, matching the single-chip fwd+bwd bench
-    configuration.
+    configuration.  ``normals`` passes through to render_pixels_diff
+    (diff/vjp.py): "kernel" computes the (detached) 6-tap normal inside the
+    march kernel - the fast-gradient training configuration.
     """
     if aspect is None:
         aspect = width / height
@@ -348,6 +351,7 @@ def make_sharded_train_step(
                 jnp.float32(fov), jnp.float32(aspect),
                 width=width, height=height, geometry=geometry,
                 march="pallas", march_interpret=march_interpret,
+                normals=normals,
             ).stack()
         else:
             col = render_pixels(

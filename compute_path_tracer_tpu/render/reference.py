@@ -233,7 +233,7 @@ def shade_bounce(rng, rd: Vec3, hit_pos: Vec3, n: Vec3, mat):
 
 
 def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounces,
-               cast_fn=None, normal_fn=None):
+               cast_fn=None, normal_fn=None, remat=False):
     """Monte-Carlo bounce loop (test_compute.glsl:91-166).
 
     Runs ``bounces + 1`` iterations (the GLSL loop is ``i <= s.bounces``) with
@@ -247,7 +247,11 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
     implicit-gradient march from diff/vjp.py here.  ``normal_fn`` overrides
     the surface normal: ``(map_fn, p, pv, checks, idx) -> Vec3`` (default =
     the 6-tap central difference; the baked path plugs its one-tap analytic
-    gradient in here).
+    gradient in here).  ``remat=True`` wraps the bounce body in
+    ``jax.checkpoint``: under reverse-mode the scan then tapes only the
+    ~16-plane carry per segment instead of every internal intermediate,
+    trading a forward recompute for HBM residual traffic - at 1080p the
+    taped residuals, not the FLOPs, bound the training step.
     """
     if cast_fn is None:
         cast_fn = cast_ray
@@ -307,6 +311,8 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
 
         return rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit
 
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
     _, _, _, ret, _, _, i_exit = lax.fori_loop(0, bounces + 1, body, init)
     # Natural loop exit leaves i == bounces + 1 in the GLSL.
     i_exit = jnp.where(i_exit < 0, bounces + 1, i_exit)

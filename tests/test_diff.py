@@ -113,6 +113,75 @@ def test_inverse_rendering_recovers(cs):
     np.testing.assert_allclose(got, want, atol=0.05)
 
 
+def test_detached_normals_value_identical_grad_finite(cs):
+    """normals="detached" must not change the rendered value at all (the
+    forward still runs the reference's 6-tap central difference) while its
+    gradient - the backward with the shading-normal term pruned - stays
+    finite and keeps the dominant smooth terms (materials, implicit hit-t).
+    """
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=W, height=H, bounces=1)
+    a = render_image_diff(cs.spec, pv, **kw)
+    b = render_image_diff(cs.spec, pv, normals="detached", **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    target = np.asarray(a) * 0.9
+    g_full = np.asarray(jax.grad(make_loss(cs.spec, target, **kw))(pv))
+    g_det = np.asarray(
+        jax.grad(make_loss(cs.spec, target, normals="detached", **kw))(pv)
+    )
+    assert np.isfinite(g_det).all()
+    # First-order material slots see the normal only through the detached
+    # shading chain, so their gradients agree closely; geometry slots may
+    # differ (that is the approximation).
+    ball = cs.spec.roots[0].children_shapes[0]
+    mat_slots = list(ball.material[:4])
+    np.testing.assert_allclose(
+        g_det[mat_slots], g_full[mat_slots], rtol=0.05, atol=2e-4
+    )
+
+
+def test_remat_grad_identical(cs):
+    """remat=True (jax.checkpoint on the bounce body) is a pure
+    memory/recompute trade: value and gradient must match the non-remat
+    path exactly."""
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=W, height=H, bounces=2)
+    a = render_image_diff(cs.spec, pv, **kw)
+    b = render_image_diff(cs.spec, pv, remat=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    target = np.asarray(a) * 0.9
+    ga = np.asarray(jax.grad(make_loss(cs.spec, target, **kw))(pv))
+    gb = np.asarray(
+        jax.grad(make_loss(cs.spec, target, remat=True, **kw))(pv)
+    )
+    assert np.isfinite(gb).all()
+    np.testing.assert_allclose(gb, ga, rtol=1e-6, atol=1e-8)
+
+
+def test_kernel_normals_match_detached(cs):
+    """normals="kernel" (in-kernel 6-tap normal, kernels/march.py) must be
+    bit-identical in value AND gradient to normals="detached" over the XLA
+    taps - same closures, same detachment, different execution site."""
+    pv = jnp.asarray(cs.params)
+    base = dict(width=W, height=H, bounces=1, geometry="baked",
+                march="pallas", march_interpret=True)
+    a = render_image_diff(cs.spec, pv, normals="detached", **base)
+    b = render_image_diff(cs.spec, pv, normals="kernel", **base)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    target = np.asarray(a) * 0.9
+    ga = jax.grad(
+        make_loss(cs.spec, target, normals="detached", **base)
+    )(pv)
+    gb = jax.grad(
+        make_loss(cs.spec, target, normals="kernel", **base)
+    )(pv)
+    assert np.isfinite(np.asarray(gb)).all()
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 def test_pallas_march_cast_bit_matches_xla(cs):
     """The on-chip march cast (kernels/march.py) must produce bit-identical
     rendered values AND parameter gradients to the XLA implicit march in

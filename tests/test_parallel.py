@@ -156,3 +156,29 @@ def test_sharded_train_step_pallas_march_matches_oracle():
     # plain-autodiff vs implicit march gradients (see diff tests): equal
     # smooth terms, tiny march-truncation differences.
     np.testing.assert_allclose(grad_p, grad_o, atol=5e-3 * scale, rtol=5e-2)
+
+
+def test_sharded_train_step_kernel_normals():
+    """The fast-gradient distributed step (normals="kernel": in-kernel
+    detached normals, kernels/march.py) must see the SAME loss as the
+    faithful pallas-march step - the forward value is unchanged by
+    detachment - with finite psum-reduced gradients."""
+    cs = compile_scene(sphere_and_plane())
+    mesh = make_mesh(8)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    params = jnp.asarray(cs.params)
+
+    step_f = make_sharded_train_step(
+        cs.spec, mesh, width=W, height=H, bounces=1, learning_rate=1.0,
+        march="pallas", march_interpret=True, normals="kernel",
+    )
+    new_f, loss_f = step_f(params, target, jnp.int32(0))
+    grad_f = np.asarray(params - new_f)
+    assert np.isfinite(float(loss_f)) and np.isfinite(grad_f).all()
+
+    step_c = make_sharded_train_step(
+        cs.spec, mesh, width=W, height=H, bounces=1, learning_rate=1.0,
+        march="pallas", march_interpret=True,
+    )
+    _, loss_c = step_c(params, target, jnp.int32(0))
+    np.testing.assert_allclose(float(loss_f), float(loss_c), rtol=1e-6)
