@@ -55,8 +55,11 @@ def make_fn(width):
 
 
 def main():
+    import json
+
     x = jnp.ones((H, W_TILE), jnp.float32)
-    for width in (1, 2, 4, 8):
+    best = 0.0
+    for width in (1, 2, 4, 8, 16, 32, 64):
         run = make_fn(width)
         np.asarray(run(x)).sum()  # compile
         t0 = time.perf_counter()
@@ -66,8 +69,15 @@ def main():
         np.asarray(r).sum()
         dt = time.perf_counter() - t0
         ops = 2 * width * K * H * W_TILE * reps  # 2 fma per chain per iter
+        tflops = ops * 2 / dt / 1e12
+        best = max(best, tflops)
         print(f"chains={width}: {ops/dt/1e9:8.1f} Gfma/s "
-              f"({ops*2/dt/1e12:6.2f} Tflop/s)", flush=True)
+              f"({tflops:6.2f} Tflop/s)", flush=True)
+    # Machine-readable line for bench.py's roofline attribution: the
+    # ATTAINABLE elementwise-f32 rate this chip retires with ample ILP,
+    # as opposed to the nominal datasheet peak (app/profiling.py).
+    print(json.dumps({"attainable_tflops": round(best, 3),
+                      "tile": [H, W_TILE], "fori_iters": K}), flush=True)
 
 
 if __name__ == "__main__":

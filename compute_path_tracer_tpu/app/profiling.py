@@ -72,6 +72,12 @@ _OPS_PER_BAKED_EVAL = 20
 # (benchmarks/vpu_peak.py); utilization against the nominal peak separates
 # scheduling losses from algorithmic ones, per round-2 plan.
 PEAK_VPU_TFLOPS = 3.9
+# MEASURED attainable elementwise-f32 rate on this chip: the saturation
+# point of benchmarks/vpu_peak.py's independent-fma-chain sweep (1.56 Tf/s
+# at 64 chains; benchmarks/artifacts/vpu_peak_r03.txt).  This, not the
+# nominal datasheet number, is the honest roofline for the march's
+# dependent scalar chains; bench.py reports utilization against both.
+ATTAINABLE_VPU_TFLOPS = 1.56
 
 
 def measured_frame_cost(spec, params, *, width, height, bounces,

@@ -175,17 +175,14 @@ def march_pallas(spec: SceneSpec, gv, ro: Vec3, rd: Vec3, *,
 _DENOM_EPS = 1e-6
 
 
-def make_pallas_cast(spec: SceneSpec, *, geometry: str = "baked",
-                     t_cull: bool = True, tile=DEFAULT_TILE,
-                     interpret: bool = False):
-    """Drop-in ``cast_fn`` for path_trace: Pallas march forward, implicit
-    O(1)-memory gradient backward (the custom-vjp design of
-    diff/vjp.py:make_implicit_cast with the 80-tap XLA march replaced by the
-    on-chip kernel in both the primal and the recompute-free backward)."""
-    if geometry == "baked":
-        map_fn = make_map_baked(spec)
-    else:
-        map_fn = make_map(spec)
+def _make_cast_custom_vjp(spec: SceneSpec, map_fn, *, geometry, t_cull, tile,
+                          interpret, with_normal):
+    """The shared custom_vjp over the Pallas march: kernel primal, implicit
+    O(1)-memory gradient backward (diff/vjp.py:make_implicit_cast's design
+    with the 80-tap XLA march replaced by the on-chip kernel in both the
+    primal and the recompute-free backward).  ``with_normal`` only changes
+    the primal's output arity; the backward is identical (``cots[0]`` is the
+    hit-t cotangent either way; idx/normal outputs are non-differentiable)."""
 
     @jax.custom_vjp
     def cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
@@ -193,16 +190,18 @@ def make_pallas_cast(spec: SceneSpec, *, geometry: str = "baked",
         return march_pallas(
             spec, gv, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
             geometry=geometry, t_cull=t_cull, tile=tile, interpret=interpret,
+            with_normal=with_normal,
         )
 
     def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
-        t, idx = cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks)
-        return (t, idx), (Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
-                          t, gv, checks)
+        out = cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks)
+        t = out[0]
+        return out, (Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
+                     t, gv, checks)
 
     def bwd(res, cots):
         ro, rd, t, gv, checks = res
-        t_cot, _idx_cot = cots
+        t_cot = cots[0]  # idx (+ normal) outputs are non-differentiable
         p = ro + rd * t
 
         def f_of_p(px, py, pz, params):
@@ -234,6 +233,22 @@ def make_pallas_cast(spec: SceneSpec, *, geometry: str = "baked",
                 rd_cot.x, rd_cot.y, rd_cot.z, gv_cot, checks_cot)
 
     cast.defvjp(fwd, bwd)
+    return cast
+
+
+def make_pallas_cast(spec: SceneSpec, *, geometry: str = "baked",
+                     t_cull: bool = True, tile=DEFAULT_TILE,
+                     interpret: bool = False):
+    """Drop-in ``cast_fn`` for path_trace: Pallas march forward, implicit
+    O(1)-memory gradient backward."""
+    if geometry == "baked":
+        map_fn = make_map_baked(spec)
+    else:
+        map_fn = make_map(spec)
+    cast = _make_cast_custom_vjp(
+        spec, map_fn, geometry=geometry, t_cull=t_cull, tile=tile,
+        interpret=interpret, with_normal=False,
+    )
 
     def cast_fn(map_fn_unused, ro, rd, gv, checks):
         return cast(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, gv, checks)
@@ -266,56 +281,10 @@ def make_pallas_cast_with_normal(spec: SceneSpec, *, geometry: str = "baked",
         map_fn = make_map_baked(spec)
     else:
         map_fn = make_map(spec)
-
-    @jax.custom_vjp
-    def cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
-        del checks
-        return march_pallas(
-            spec, gv, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
-            geometry=geometry, t_cull=t_cull, tile=tile, interpret=interpret,
-            with_normal=True,
-        )
-
-    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks):
-        out = cast(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, gv, checks)
-        t = out[0]
-        return out, (Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z),
-                     t, gv, checks)
-
-    def bwd(res, cots):
-        ro, rd, t, gv, checks = res
-        t_cot = cots[0]  # idx + normal outputs are non-differentiable
-        p = ro + rd * t
-
-        def f_of_p(px, py, pz, params):
-            d, _ = map_fn(Vec3(px, py, pz), params, checks)
-            return jnp.sum(d)
-
-        _, vjp_fn = jax.vjp(f_of_p, p.x, p.y, p.z, gv)
-        gpx, gpy, gpz, _ = vjp_fn(jnp.float32(1.0))
-        g_p = Vec3(gpx, gpy, gpz)
-        denom = g_p.dot(rd)
-        safe = jnp.abs(denom) > _DENOM_EPS
-        inv_denom = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
-        scale = -t_cot * inv_denom
-
-        def f_theta_seeded(params):
-            d, _ = map_fn(
-                Vec3(lax.stop_gradient(p.x), lax.stop_gradient(p.y),
-                     lax.stop_gradient(p.z)), params, checks)
-            return jnp.sum(d * lax.stop_gradient(scale))
-
-        gv_cot = jax.grad(f_theta_seeded)(gv)
-        ro_cot = g_p * scale
-        rd_cot = g_p * (scale * t)
-        checks_cot = tuple(
-            None if c is None else np.zeros(c.shape, jax.dtypes.float0)
-            for c in checks
-        )
-        return (ro_cot.x, ro_cot.y, ro_cot.z,
-                rd_cot.x, rd_cot.y, rd_cot.z, gv_cot, checks_cot)
-
-    cast.defvjp(fwd, bwd)
+    cast = _make_cast_custom_vjp(
+        spec, map_fn, geometry=geometry, t_cull=t_cull, tile=tile,
+        interpret=interpret, with_normal=True,
+    )
 
     cell = {}
 
@@ -326,6 +295,12 @@ def make_pallas_cast_with_normal(spec: SceneSpec, *, geometry: str = "baked",
         return t, idx
 
     def normal_fn(map_fn_unused, p, pv_unused, checks_unused, _idx):
+        if "n" not in cell:
+            raise RuntimeError(
+                "normal_fn must be called after cast_fn from the same "
+                "make_pallas_cast_with_normal pair (path_trace calls them in "
+                "that order within each bounce); no stashed normal found"
+            )
         return cell["n"]
 
     return cast_fn, normal_fn

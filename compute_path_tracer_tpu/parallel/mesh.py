@@ -321,6 +321,14 @@ def make_sharded_train_step(
     """
     if aspect is None:
         aspect = width / height
+    if march != "pallas" and normals != "central":
+        # The XLA branch below calls render_pixels without a normals
+        # argument; silently ignoring a non-default request would return
+        # default-normal gradients with no error.
+        raise ValueError(
+            f'normals="{normals}" requires march="pallas" '
+            "(the XLA branch always uses central-difference normals)"
+        )
     n = mesh.devices.size
     if height % n:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
@@ -369,5 +377,79 @@ def make_sharded_train_step(
         loss, grad = jax.value_and_grad(loss_fn)(params)
         new_params = params - learning_rate * grad
         return new_params, loss
+
+    return step
+
+
+def make_fused_sharded_train_step(
+    spec: SceneSpec,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    bounces: int = 2,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+    learning_rate: float = 2e-2,
+    tile=None,
+    interpret: bool = None,
+):
+    """Distributed training step over the FUSED kernel (kernels/train.py):
+    each chip runs the forward+per-pixel-backward kernel on its row band
+    (absolute row offsets keep RNG/camera bit-identical to single-chip),
+    reduces its band to a parameter-gradient contribution in XLA, and the
+    per-band partials are psum-reduced over ICI.
+
+    Unlike make_sharded_train_step (AD outside shard_map), the fused path's
+    gradient is built from explicit reductions, so the hand-psum of the
+    partial gradients is exact: every pixel's contribution is counted once
+    on the chip that owns its band.  Returns
+    ``step(params, target, frame) -> (new_params, loss)``.
+    """
+    from ..kernels.train import DEFAULT_TILE, _fused_sse_and_grad_impl, _pad_planes
+
+    if aspect is None:
+        aspect = width / height
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    band_h = height // n
+    if tile is None:
+        th, tw = DEFAULT_TILE
+        th = min(th, -(-band_h // 8) * 8)
+    else:
+        th, tw = tile
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    inv_n = 1.0 / float(width * height * 3)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sse_and_grad(params, target_band, frame):
+        row0 = lax.axis_index(TILE_AXIS) * band_h
+        band_planes = _pad_planes(
+            jnp.transpose(target_band, (2, 0, 1)), th, tw
+        )
+        sse, grad, _col = _fused_sse_and_grad_impl(
+            spec, params, band_planes, frame, jnp.float32(fov),
+            jnp.float32(aspect), row0, width=width, height=height,
+            crop_h=band_h, bounces=bounces, tile_h=th, tile_w=tw,
+            interpret=interpret,
+        )
+        return lax.psum(sse, TILE_AXIS), lax.psum(grad, TILE_AXIS)
+
+    @jax.jit
+    def step(params, target, frame):
+        sse, grad = sse_and_grad(
+            jnp.asarray(params, jnp.float32),
+            jnp.asarray(target, jnp.float32), jnp.asarray(frame, jnp.int32),
+        )
+        new_params = params - learning_rate * grad
+        return new_params, sse * inv_n
 
     return step
