@@ -21,8 +21,16 @@ per chip is the BASELINE.json target).
 """
 
 import json
+import os
 import sys
 import time
+
+# Persistent compilation cache: cuts warm-up compiles on repeat runs without
+# touching timed regions (all timings are post-warmup).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 8
 N_PRIMS = 64
@@ -98,6 +106,7 @@ def bench_forward(cs):
     if backend == "pallas":
         try:
             from compute_path_tracer_tpu.app.profiling import (
+                ATTAINABLE_VPU_TFLOPS,
                 PEAK_VPU_TFLOPS,
                 measured_frame_cost,
             )
@@ -110,6 +119,10 @@ def bench_forward(cs):
             out["shape_evals_per_ray"] = cost["shape_evals_per_ray"]
             out["achieved_tflops"] = achieved
             out["vpu_utilization"] = achieved / PEAK_VPU_TFLOPS
+            # Against the MEASURED attainable elementwise rate
+            # (benchmarks/vpu_peak.py artifact), the honest roofline.
+            out["attainable_tflops"] = ATTAINABLE_VPU_TFLOPS
+            out["attainable_utilization"] = achieved / ATTAINABLE_VPU_TFLOPS
         except Exception as e:
             out["roofline_error"] = f"{type(e).__name__}: {e}"
     return out
@@ -166,13 +179,57 @@ def bench_fwd_bwd(cs, normals="central"):
     }
 
 
+def bench_fused(cs):
+    """The fused train step (kernels/train.py): forward render + per-pixel
+    backward in one Pallas kernel, parameter scatters in XLA.  Gradient
+    semantics = normals="detached" (the fast-training configuration)."""
+    import jax
+    import numpy as np
+
+    from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+
+    target = np.zeros((HEIGHT, WIDTH, 3), np.float32)
+    step = make_fused_value_and_grad(
+        cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
+    )
+    _, g = step(cs.params)
+    np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
+
+    t0 = time.perf_counter()
+    for _ in range(BWD_TIMED_STEPS):
+        _, g = step(cs.params)
+    np.asarray(g[:2]).sum()
+    dt = (time.perf_counter() - t0) / BWD_TIMED_STEPS
+
+    rays = WIDTH * HEIGHT * (BOUNCES + 1)
+    value = rays / dt
+    return {
+        "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
+        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces, fused kernel "
+        "(normals=detached)",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+        "march": "fused-pallas",
+        "step_ms": dt * 1e3,
+        "grad_finite": bool(np.isfinite(np.asarray(g)).all()),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def main():
     import jax  # noqa: F401
 
+    from compute_path_tracer_tpu.app.tpulock import tpu_lock
     from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
 
     import jax.numpy as jnp
 
+    with tpu_lock():
+        return _main_locked(jnp, compile_scene, benchmark_scene)
+
+
+def _main_locked(jnp, compile_scene, benchmark_scene):
     compiled = compile_scene(benchmark_scene(N_PRIMS))
 
     class _CS:  # both benches share the spec + device-resident params
@@ -189,8 +246,6 @@ def main():
             "metric": "fwd+bwd train-step rays/s/chip",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
-    import os
-
     if not os.environ.get("BENCH_SKIP_FASTGRAD"):
         try:
             print(json.dumps(bench_fwd_bwd(_CS, normals="kernel")), flush=True)
@@ -199,6 +254,13 @@ def main():
                 "metric": "fwd+bwd train-step rays/s/chip, normals=kernel",
                 "error": f"{type(e).__name__}: {e}"[:300],
             }), flush=True)
+    try:
+        print(json.dumps(bench_fused(_CS)), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd+bwd train-step rays/s/chip, fused kernel",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
     print(json.dumps(bench_forward(_CS)), flush=True)
     return 0
 

@@ -1,0 +1,490 @@
+"""Fused training-step kernel: forward render AND per-pixel backward in VMEM.
+
+Round-2 measurement (benchmarks/fastgrad.py, BENCH_r02.json) showed the
+1080p fwd+bwd step spends ~2.4 s of 3.34 s in the XLA reverse sweep of the
+bounce loop - residual taping and replay of tile-shaped shading math that a
+VMEM-resident kernel gets for free.  The blocker for a fully-fused kernel
+was isolated by benchmarks/probe_fused_bwd.py: Mosaic cannot lower the
+transpose of scalar parameter reads (a 1-D scatter of tile reductions into
+the parameter vector); everything tile-shaped compiles.  [Mosaic limitation
+observed on jax/jaxlib 0.9.0 + libtpu 0.0.34 -
+tests/test_tpu.py:test_mosaic_workaround_toolchain_witness.]  This module
+splits the backward exactly along that line:
+
+* **in-kernel (this file)**: the complete forward path trace (same
+  march/culling pipeline as kernels/megakernel.py, reference semantics
+  test_compute.glsl:74-166) plus the whole PER-PIXEL backward - the
+  shading-chain transpose and the implicit-function march gradient - via
+  per-bounce ``jax.vjp`` over an elementwise replay.  No map transpose ever
+  runs in-kernel: the hit distance enters the replay through the first-order
+  identity  t = sg(t*) + A.(ro - sg(ro)) + B.(rd - sg(rd)) + t_aux  with
+  A = -g_p/(g_p.rd), B = A t* (all stop-gradded), whose vjp IS the implicit
+  gradient of diff/vjp.py:make_implicit_cast, and g_p is reused from the
+  6-tap central-difference normal the forward already computes.
+* **outside in XLA**: the only parameter-vector scatters - one batched map
+  vjp seeded with the kernel's per-bounce ``scale = -dL/dt / (g_p.rd)``
+  planes (the f_theta term of the implicit gradient), and the material
+  gather transpose seeded with the kernel's per-bounce material-channel
+  cotangent planes.  Both are a handful of cheap dense ops.
+
+Gradient semantics match diff/vjp.py's ``normals="detached"`` configuration
+(the documented fast-training approximation: the surface normal is treated
+as a constant of the backward; geometry signal flows through the implicit
+hit-t):
+
+* the implicit factors use the 6-tap central-difference g_p (eps 1e-4,
+  funcs.glsl:21-35) instead of the exact map gradient - an O(eps^2)
+  relative difference;
+* material semantics are the megakernel's (refraction channels are carried
+  for their ``ray_prob`` gradient but never shaded, matching
+  _make_smem_gather_mat; scenes with nonzero refract_chance should train
+  through diff/vjp.py instead);
+* secondary-bounce aux-tap culling inherits the megakernel's documented
+  eps-level caveat.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DEFAULT_FOV, FP, MHD
+from ..ops.camera import calc_uv, primary_ray
+from ..ops.rng import gen_rng, random_float01
+from ..render.baked import (
+    bake,
+    make_bounds_baked,
+    make_map_baked,
+    make_map_baked_d,
+)
+from ..render.reference import Mat, gather_material, shade_bounce
+from ..render.scenegen import material_slot_matrix
+from ..scene.compile import SceneSpec
+from ..vecmath import Vec3, vwhere
+from .megakernel import (
+    _BIG,
+    _anyhit,
+    _final_idx,
+    _interval_scalars,
+    _make_smem_gather_mat,
+    _march_while_tcull,
+)
+
+DEFAULT_TILE = (32, 128)
+
+_EPS_N = 1e-4  # central-difference epsilon (funcs.glsl:26)
+_DENOM_EPS = 1e-6  # implicit-gradient denominator clamp (diff/vjp.py)
+
+# Material-channel order of the emitted cotangent planes == the column order
+# of gather_material's mat_table (scene/compile.py slot layout).  Channels
+# 12 (ior), 14 (refract_roughness) and 15-17 (refract_col) are omitted:
+# with the kernel's megakernel material semantics their cotangents are
+# structurally zero (they only feed branches no lane selects), while
+# refract_chance (13) DOES carry gradient through ray_prob's diffuse
+# probability 1 - spec - refract (shade_bounce).
+_MAT_CHANNELS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
+
+
+def _mat_flat(m: Mat):
+    """The emitted-channel view of a Mat, in _MAT_CHANNELS order."""
+    return (
+        m.col.x, m.col.y, m.col.z, m.brightness,
+        m.light.x, m.light.y, m.light.z,
+        m.spec, m.spec_col.x, m.spec_col.y, m.spec_col.z,
+        m.roughness, m.refract_chance,
+    )
+
+
+def _make_train_kernel(spec: SceneSpec, width: int, height: int,
+                       bounces: int, tile_h: int, tile_w: int):
+    B1 = bounces + 1
+    map_ids = make_map_baked(spec)
+    map_d = make_map_baked_d(spec)
+    bounds_fn = make_bounds_baked(spec, with_t=True)
+
+    def kernel(iparams_ref, fparams_ref, params_ref, bv_ref, target_ref,
+               col_ref, seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
+               seg_scale_ref, mat_cot_ref,
+               thr_s, g_s, invd_s, rng_s, alive_s):
+        frame = iparams_ref[0]
+        row_offset = iparams_ref[1]
+        # Rows at/after y_limit are tile padding (or another shard's band):
+        # they render but carry zero loss seed, so they contribute nothing
+        # to any cotangent.
+        y_limit = iparams_ref[2]
+        fov = fparams_ref[0]
+        aspect = fparams_ref[1]
+        seed_scale = fparams_ref[2]  # 2 / (H * W * 3)
+        bv = bv_ref
+        gather_mat = _make_smem_gather_mat(spec, params_ref)
+
+        y0 = pl.program_id(0) * tile_h + row_offset
+        x0 = pl.program_id(1) * tile_w
+        xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        inb = ((xs < width) & (ys < y_limit)).astype(jnp.float32)
+
+        rng0 = gen_rng(xs, ys, frame, width, height)
+        rng0, jx = random_float01(rng0)
+        rng0, jy = random_float01(rng0)
+        u, v = calc_uv(
+            xs.astype(jnp.float32) + (jx - 0.5),
+            ys.astype(jnp.float32) + (jy - 0.5),
+            width, height, aspect,
+        )
+        ro0, rd0 = primary_ray(u, v, fov)
+
+        zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+        one = zero + 1.0
+
+        # ---- phase 1: forward bounce loop, storing per-segment state ----
+        def fwd_body(b, carry):
+            rng, ro, rd, thr, ret, alive_i = carry
+            alive = alive_i != 0
+
+            checks, tns, tfs, _dbg = bounds_fn(ro, rd, bv)
+            checks = tuple(None if c is None else c & alive for c in checks)
+            ivals = _interval_scalars(checks, tns, tfs)
+            t, tp = _march_while_tcull(map_d, ro, rd, bv, checks, ivals,
+                                       alive=alive)
+
+            miss = t > FP
+            act = alive & ~miss
+            hit = ro + rd * t
+
+            # Hit-front aux actives (megakernel t_cull branch semantics).
+            th_hi = jnp.max(jnp.where(act, t, -_BIG))
+            th_lo = jnp.min(jnp.where(act, t, _BIG)) - MHD
+            hit_act = tuple(
+                None if iv is None
+                else (iv[0] & (iv[1] <= th_hi) & (iv[2] >= th_lo))
+                for iv in ivals
+            )
+            idx = _final_idx(map_ids, ro, rd, bv, checks, hit_act, t, tp)
+
+            # 6-tap central difference: normal AND the implicit-gradient g_p.
+            e = jnp.float32(_EPS_N)
+
+            def tap(dx, dy, dz):
+                return map_d(Vec3(hit.x + dx, hit.y + dy, hit.z + dz),
+                             bv, checks, hit_act)
+
+            g = Vec3(
+                tap(e, 0.0, 0.0) - tap(-e, 0.0, 0.0),
+                tap(0.0, e, 0.0) - tap(0.0, -e, 0.0),
+                tap(0.0, 0.0, e) - tap(0.0, 0.0, -e),
+            )
+            n = g.normalize_safe()
+            denom = g.dot(rd) * jnp.float32(0.5 / _EPS_N)
+            safe = (jnp.abs(denom) > _DENOM_EPS) & act
+            invd = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+
+            bs = pl.ds(b, 1)
+            for c, comp in enumerate(ro):
+                seg_ro_ref[bs, c] = comp[None]
+            for c, comp in enumerate(rd):
+                seg_rd_ref[bs, c] = comp[None]
+            seg_t_ref[bs] = t[None]
+            seg_idx_ref[bs] = idx[None]
+            for c, comp in enumerate(thr):
+                thr_s[bs, c] = comp[None]
+            for c, comp in enumerate(g):
+                g_s[bs, c] = comp[None]
+            invd_s[bs] = invd[None]
+            rng_s[bs] = lax.bitcast_convert_type(rng, jnp.int32)[None]
+            alive_s[bs] = alive_i[None]
+
+            mat = gather_mat(idx)
+            rng2, new_ro, new_rd, emit, thr_f, ray_p = shade_bounce(
+                rng, rd, hit, n, mat
+            )
+            ro2 = vwhere(act, new_ro, ro)
+            rd2 = vwhere(act, new_rd, rd)
+            ret2 = vwhere(act, ret + emit * thr, ret)
+            new_thr = thr * thr_f / ray_p
+
+            p_rr = new_thr.max_component()
+            rng3, r_rr = random_float01(rng2)
+            rr_dead = act & (r_rr > p_rr)
+            surv = act & ~rr_dead
+            p_pos = p_rr > 0.0
+            inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
+            thr2 = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
+            return rng3, ro2, rd2, thr2, ret2, surv.astype(jnp.int32)
+
+        init = (rng0, ro0, rd0, Vec3(one, one, one), Vec3(zero, zero, zero),
+                one.astype(jnp.int32))
+        _, _, _, _, ret, _ = lax.fori_loop(0, B1, fwd_body, init)
+
+        for c, comp in enumerate(ret):
+            col_ref[c] = comp
+
+        # ---- phase 2: per-pixel backward, chained per-bounce vjps ----
+        # Loss = mean((col - target)^2); the seed is constant across bounces
+        # because col = sum_b ret_incr_b.
+        col_cot = Vec3(
+            (ret.x - target_ref[0]) * seed_scale * inb,
+            (ret.y - target_ref[1]) * seed_scale * inb,
+            (ret.z - target_ref[2]) * seed_scale * inb,
+        )
+        sg = lax.stop_gradient
+        zmat = Mat(
+            col=Vec3(zero, zero, zero), brightness=zero,
+            light=Vec3(zero, zero, zero), spec=zero,
+            spec_col=Vec3(zero, zero, zero), roughness=zero, ior=zero,
+            refract_chance=zero, refract_roughness=zero,
+            refract_col=Vec3(zero, zero, zero),
+        )
+
+        ro_c = Vec3(zero, zero, zero)
+        rd_c = Vec3(zero, zero, zero)
+        thr_c = Vec3(zero, zero, zero)
+        for b in range(B1 - 1, -1, -1):
+            ro_b = Vec3(seg_ro_ref[b, 0], seg_ro_ref[b, 1], seg_ro_ref[b, 2])
+            rd_b = Vec3(seg_rd_ref[b, 0], seg_rd_ref[b, 1], seg_rd_ref[b, 2])
+            thr_b = Vec3(thr_s[b, 0], thr_s[b, 1], thr_s[b, 2])
+            g_b = Vec3(g_s[b, 0], g_s[b, 1], g_s[b, 2])
+            t_b = seg_t_ref[b]
+            idx_b = seg_idx_ref[b]
+            invd_b = invd_s[b]
+            rng_b = lax.bitcast_convert_type(rng_s[b], jnp.uint32)
+            alive_b = alive_s[b] != 0
+            miss = t_b > FP
+            act = alive_b & ~miss
+            mat_vals = gather_mat(idx_b)
+            n_b = g_b.normalize_safe()
+            # Implicit-march linearization coefficients (stop-gradded).
+            A = g_b * (jnp.float32(-0.5 / _EPS_N) * invd_b)
+            B = A * t_b
+
+            def replay(ro, rd, thr, t_aux, dmat,
+                       # per-iteration captures (late-binding guard):
+                       ro_b=ro_b, rd_b=rd_b, t_b=t_b, A=A, B=B, n_b=n_b,
+                       rng_b=rng_b, act=act, mat_vals=mat_vals):
+                t = (sg(t_b) + A.dot(ro - sg(ro_b)) + B.dot(rd - sg(rd_b))
+                     + t_aux)
+                hit = ro + rd * t
+                mat = jax.tree.map(lambda a, d: sg(a) + d, mat_vals, dmat)
+                rng2, new_ro, new_rd, emit, thr_f, ray_p = shade_bounce(
+                    rng_b, rd, hit, Vec3(sg(n_b.x), sg(n_b.y), sg(n_b.z)),
+                    mat,
+                )
+                ro2 = vwhere(act, new_ro, ro)
+                rd2 = vwhere(act, new_rd, rd)
+                ret_incr = vwhere(act, emit * thr, Vec3(t * 0.0, t * 0.0,
+                                                        t * 0.0))
+                new_thr = thr * thr_f / ray_p
+                p_rr = new_thr.max_component()
+                _rng3, r_rr = random_float01(rng2)
+                rr_dead = act & (r_rr > p_rr)
+                surv = act & ~rr_dead
+                p_pos = p_rr > 0.0
+                inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0),
+                                  0.0)
+                thr2 = vwhere(surv, new_thr * inv_p,
+                              vwhere(act, new_thr, thr))
+                return ro2, rd2, thr2, ret_incr
+
+            _, vjp_fn = jax.vjp(replay, ro_b, rd_b, thr_b, zero, zmat)
+            ro_c, rd_c, thr_c, t_cot, mat_cot = vjp_fn(
+                (ro_c, rd_c, thr_c, col_cot)
+            )
+            seg_scale_ref[b] = -t_cot * invd_b
+            for c, cot in enumerate(_mat_flat(mat_cot)):
+                mat_cot_ref[b, c] = cot
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "width", "height", "bounces", "tile_h", "tile_w",
+                     "interpret"),
+)
+def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
+                  row_offset, y_limit, *, width, height, bounces, tile_h,
+                  tile_w, interpret):
+    B1 = bounces + 1
+    ph, pw = target_planes.shape[1], target_planes.shape[2]
+    grid = (ph // tile_h, pw // tile_w)
+    iparams = jnp.stack([jnp.asarray(frame, jnp.int32),
+                         jnp.asarray(row_offset, jnp.int32),
+                         jnp.asarray(y_limit, jnp.int32)])
+    seed_scale = jnp.float32(2.0 / (width * height * 3))
+    fparams = jnp.stack([jnp.asarray(fov, jnp.float32),
+                         jnp.asarray(aspect, jnp.float32), seed_scale])
+
+    kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def tile3(c):
+        return pl.BlockSpec((c, tile_h, tile_w), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def tile4(c):
+        return pl.BlockSpec((B1, c, tile_h, tile_w),
+                            lambda i, j: (0, 0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def tileb():
+        return pl.BlockSpec((B1, tile_h, tile_w), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
+        jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_ro
+        jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_rd
+        jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_t
+        jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
+        jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_scale
+        jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
+    )
+    out_specs = (tile3(3), tile4(3), tile4(3), tileb(), tileb(), tileb(),
+                 tile4(len(_MAT_CHANNELS)))
+    scratch = [
+        pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # thr
+        pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # g (FD diffs)
+        pltpu.VMEM((B1, tile_h, tile_w), f32),         # inv_denom
+        pltpu.VMEM((B1, tile_h, tile_w), jnp.int32),   # rng (bitcast)
+        pltpu.VMEM((B1, tile_h, tile_w), jnp.int32),   # alive
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, tile3(3)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(iparams, fparams, params, bv, target_planes)
+
+
+def _pad_planes(x, th, tw):
+    c, h, w = x.shape
+    ph = -(-h // th) * th
+    pw = -(-w // tw) * tw
+    if (ph, pw) == (h, w):
+        return x
+    return jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "width", "height", "crop_h", "bounces", "tile_h",
+                     "tile_w", "interpret"),
+)
+def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
+                             aspect, row_offset, *, width, height, crop_h,
+                             bounces, tile_h, tile_w, interpret):
+    """Band-shardable core: renders the rows [row_offset, row_offset+crop_h)
+    of the global (height, width) image (``target_planes`` covers just that
+    band, padded to tiles) and returns the band's summed squared error, its
+    contribution to the GLOBAL mean-loss gradient, and the color planes.
+    Single-chip use is the crop_h == height, row_offset == 0 case."""
+    bv, bake_vjp = jax.vjp(lambda pp: bake(spec, pp), params)
+    col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = _fused_planes(
+        spec, params, bv, target_planes, frame, fov, aspect, row_offset,
+        row_offset + crop_h,
+        width=width, height=height, bounces=bounces,
+        tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+    )
+    sse = jnp.sum(
+        (col[:, :crop_h, :width] - target_planes[:, :crop_h, :width]) ** 2
+    )
+
+    pw = seg_t.shape[-1]
+
+    def rows(x):  # (B1[, C], PH, PW) -> stacked rows (B1*PH, PW)
+        return x.reshape(-1, pw)
+
+    RO = Vec3(rows(seg_ro[:, 0]), rows(seg_ro[:, 1]), rows(seg_ro[:, 2]))
+    RD = Vec3(rows(seg_rd[:, 0]), rows(seg_rd[:, 1]), rows(seg_rd[:, 2]))
+    T = rows(seg_t)
+    SCALE = rows(seg_scale)
+
+    # f_theta term of the implicit gradient: one batched map vjp over every
+    # (bounce, pixel) hit point, seeded with the kernel's scale planes
+    # (diff/vjp.py:make_implicit_cast's f_theta_seeded, batched).
+    map_fn = make_map_baked(spec)
+    bounds_fn = make_bounds_baked(spec)
+
+    def geom_sum(bvv):
+        checks, _ = bounds_fn(RO, RD, lax.stop_gradient(bvv))
+        p = RO + RD * T
+        d, _ = map_fn(p, bvv, checks)
+        return jnp.sum(d * SCALE)
+
+    gv_cot = jax.grad(geom_sum)(bv)
+    (g_geom,) = bake_vjp(gv_cot)
+
+    # Material term: gather transpose (scatter-add by winning id) seeded
+    # with the kernel's per-channel cotangent planes.
+    slots = jnp.asarray(material_slot_matrix(spec))
+    mat_table, tab_vjp = jax.vjp(lambda pp: pp[slots], params)
+    IDX = rows(seg_idx)
+
+    def mat_sum(mt):
+        m = gather_material(mt, IDX)
+        s = jnp.float32(0.0)
+        for c, plane in enumerate(_mat_flat(m)):
+            s = s + jnp.sum(plane * rows(mat_cot[:, c]))
+        return s
+
+    mt_cot = jax.grad(mat_sum)(mat_table)
+    (g_mat,) = tab_vjp(mt_cot)
+    return sse, g_geom + g_mat, col
+
+
+def make_fused_value_and_grad(
+    spec: SceneSpec,
+    target,
+    *,
+    width: int,
+    height: int,
+    bounces: int = 2,
+    fov: float = DEFAULT_FOV,
+    aspect: float = None,
+    tile=DEFAULT_TILE,
+    interpret: bool = False,
+    with_image: bool = False,
+):
+    """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE
+    between the rendered frame and ``target`` and grad is d loss / d params -
+    the whole per-pixel backward fused on-chip.
+
+    Gradient semantics = ``diff/vjp.py:render_pixels_diff`` with
+    ``march="pallas", normals="detached", geometry="baked"`` (see module
+    docstring for the two documented deviations).  ``with_image=True``
+    additionally returns the rendered (H, W, 3) image.
+    """
+    if aspect is None:
+        aspect = width / height
+    th, tw = tile
+    th = min(th, -(-height // 8) * 8) if height < th else th
+    target_planes = _pad_planes(
+        jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1)), th, tw
+    )
+
+    inv_n = 1.0 / float(width * height * 3)
+
+    def step(params, frame=0):
+        sse, grad, col = _fused_sse_and_grad_impl(
+            spec, jnp.asarray(params, jnp.float32), target_planes,
+            jnp.asarray(frame, jnp.int32), jnp.float32(fov),
+            jnp.float32(aspect), jnp.int32(0), width=width, height=height,
+            crop_h=height, bounces=bounces, tile_h=th, tile_w=tw,
+            interpret=interpret,
+        )
+        loss = sse * inv_n
+        if with_image:
+            img = jnp.transpose(col[:, :height, :width], (1, 2, 0))
+            return loss, grad, img
+        return loss, grad
+
+    return step

@@ -8,6 +8,7 @@ from .distributed import (
 from .mesh import (
     TILE_AXIS,
     make_mesh,
+    make_fused_sharded_train_step,
     make_sharded_frame_fn,
     make_sharded_train_step,
     render_frame_sharded,
@@ -20,6 +21,7 @@ __all__ = [
     "run_with_checkpoint_recovery",
     "TILE_AXIS",
     "make_mesh",
+    "make_fused_sharded_train_step",
     "make_sharded_frame_fn",
     "make_sharded_train_step",
     "render_frame_sharded",

@@ -182,3 +182,35 @@ def test_sharded_train_step_kernel_normals():
     )
     _, loss_c = step_c(params, target, jnp.int32(0))
     np.testing.assert_allclose(float(loss_f), float(loss_c), rtol=1e-6)
+
+
+def test_fused_sharded_train_step_matches_single_chip():
+    """The FUSED train kernel sharded over row bands (parallel/mesh.py:
+    make_fused_sharded_train_step) must reproduce the single-chip fused
+    step's loss and gradient: per-band reductions + psum count every pixel
+    exactly once, so only summation order differs."""
+    from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+    from compute_path_tracer_tpu.parallel import make_fused_sharded_train_step
+
+    cs = compile_scene(sphere_and_plane())
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    target = rng.random((H, W, 3)).astype(np.float32) * 0.2
+    params = jnp.asarray(cs.params)
+
+    step = make_fused_sharded_train_step(
+        cs.spec, mesh, width=W, height=H, bounces=1, learning_rate=1.0,
+    )
+    new_params, loss_sharded = step(params, jnp.asarray(target), jnp.int32(0))
+    grad_sharded = np.asarray(params - new_params)
+
+    single = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=1, interpret=True,
+    )
+    loss_single, grad_single = single(params)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    want = np.asarray(grad_single)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(grad_sharded, want, atol=1e-4 * scale,
+                               rtol=1e-3)

@@ -115,6 +115,36 @@ def test_march_kernel_grads_match_cpu_oracle(cs, cpu):
     np.testing.assert_allclose(grad, grad_c, rtol=1e-4, atol=1e-4 * scale)
 
 
+def test_fused_train_step_on_chip(cs, cpu):
+    """The fused per-pixel-backward training kernel (kernels/train.py)
+    Mosaic-compiles and its gradients match the CPU oracle's detached-normal
+    configuration (rtol 1e-4, the BASELINE.json gradient criterion)."""
+    from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+
+    target = np.zeros((H, W, 3), np.float32)
+    pv = jnp.asarray(cs.params)
+    step = make_fused_value_and_grad(cs.spec, target, width=W, height=H,
+                                     bounces=1)
+    val, grad = step(pv)
+    grad = np.asarray(grad)
+    assert np.isfinite(float(val)) and np.isfinite(grad).all()
+
+    with jax.default_device(cpu):
+        loss_cpu = make_loss_detached(cs, target)
+        val_c, grad_c = jax.value_and_grad(loss_cpu)(jnp.asarray(cs.params))
+    np.testing.assert_allclose(float(val), float(val_c), rtol=1e-4)
+    grad_c = np.asarray(grad_c)
+    scale = np.abs(grad_c).max()
+    np.testing.assert_allclose(grad, grad_c, rtol=1e-4, atol=1e-4 * scale)
+
+
+def make_loss_detached(cs, target):
+    from compute_path_tracer_tpu.diff import make_loss
+
+    return make_loss(cs.spec, target, width=W, height=H, bounces=1,
+                     geometry="baked", normals="detached", march="xla")
+
+
 def test_benchmark_scene_compiles_on_chip():
     """The 64-prim benchmark scene's megakernel Mosaic-compiles and runs at
     reduced resolution (guards the bench.py configuration)."""
@@ -129,6 +159,35 @@ def test_benchmark_scene_compiles_on_chip():
         )
     )
     assert np.isfinite(img).all() and img.shape == (128, 256, 3)
+
+
+# The toolchain the repo's three load-bearing Mosaic workarounds were
+# observed on (relayout-safe march formulation megakernel.py:_march_while,
+# debug-mode ids fold megakernel.py:_make_kernel debug 1/2 branch, and the
+# parameter-cotangent scatter split kernels/train.py).  A version bump may
+# fix or re-break any of them with only this slow lane to notice; this
+# witness turns a silent flip into an actionable failure pointing at the
+# workaround sites.
+_WORKAROUND_TOOLCHAIN = {"jax": "0.9.0", "jaxlib": "0.9.0",
+                         "libtpu": "0.0.34"}
+
+
+def test_mosaic_workaround_toolchain_witness():
+    import jaxlib
+
+    try:
+        import libtpu
+        libtpu_version = getattr(libtpu, "__version__", "unknown")
+    except ImportError:
+        libtpu_version = "missing"
+    got = {"jax": jax.__version__, "jaxlib": jaxlib.__version__,
+           "libtpu": libtpu_version}
+    assert got == _WORKAROUND_TOOLCHAIN, (
+        f"toolchain changed ({got} != {_WORKAROUND_TOOLCHAIN}): re-probe the "
+        "three Mosaic workarounds (grep 'Mosaic workaround'; run "
+        "benchmarks/probe_fused_bwd.py and the xfailed AD-normal test), "
+        "then update _WORKAROUND_TOOLCHAIN"
+    )
 
 
 @pytest.mark.xfail(

@@ -1,0 +1,85 @@
+"""Fused training-step kernel (kernels/train.py): forward values must match
+the renderer bit-for-bit, and gradients must match the detached-normals
+oracle configuration it implements (diff/vjp.py ``march="pallas",
+normals="detached"``).
+
+Interpret mode on CPU; the real-hardware Mosaic compile of the same kernel
+is covered by tests/test_tpu.py::test_fused_train_step_on_chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from compute_path_tracer_tpu.diff import make_loss
+from compute_path_tracer_tpu.diff.vjp import render_image_diff
+from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+from compute_path_tracer_tpu.scene import compile_scene, csg_demo
+
+W, H, BOUNCES = 64, 32, 1
+
+
+@pytest.fixture(scope="module")
+def cs():
+    return compile_scene(csg_demo())
+
+
+@pytest.fixture(scope="module")
+def target(cs):
+    rng = np.random.default_rng(0)
+    return rng.random((H, W, 3)).astype(np.float32) * 0.2
+
+
+@pytest.fixture(scope="module")
+def fused(cs, target):
+    step = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=BOUNCES, interpret=True,
+        with_image=True,
+    )
+    return step(jnp.asarray(cs.params))
+
+
+def test_fused_forward_matches_renderer(cs, fused):
+    """The kernel's phase-1 forward is the megakernel pipeline: its rendered
+    image must match the differentiable renderer's forward."""
+    _, _, img = fused
+    want = np.asarray(
+        render_image_diff(cs.spec, jnp.asarray(cs.params), width=W, height=H,
+                          bounces=BOUNCES, geometry="baked")
+    )
+    np.testing.assert_allclose(np.asarray(img), want, atol=1e-6)
+
+
+def test_fused_loss_matches_oracle(cs, target, fused):
+    loss_f, _, _ = fused
+    loss_fn = make_loss(cs.spec, target, width=W, height=H, bounces=BOUNCES,
+                        geometry="baked", normals="detached", march="xla")
+    assert abs(float(loss_f) - float(loss_fn(jnp.asarray(cs.params)))) < 1e-6
+
+
+def test_fused_grads_match_detached_pallas_oracle(cs, target, fused):
+    """Same march (Pallas t-interval kernel), same detached-normal
+    semantics: the fused per-pixel backward + XLA-side parameter reduction
+    must reproduce the XLA reverse sweep's gradient almost exactly (the only
+    deviation is the FD-vs-AD implicit-gradient g_p, O(eps^2))."""
+    _, grad_f, _ = fused
+    loss_fn = make_loss(cs.spec, target, width=W, height=H, bounces=BOUNCES,
+                        geometry="baked", normals="detached", march="pallas",
+                        march_interpret=True)
+    grad_o = np.asarray(jax.grad(loss_fn)(jnp.asarray(cs.params)))
+    scale = np.abs(grad_o).max()
+    np.testing.assert_allclose(np.asarray(grad_f), grad_o, rtol=1e-4,
+                               atol=1e-4 * scale)
+
+
+def test_fused_grad_descends(cs, target, fused):
+    """One SGD step along the fused gradient must reduce the fused loss
+    (end-to-end sanity that the gradient is a descent direction)."""
+    loss0, grad, _ = fused
+    step = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=BOUNCES, interpret=True,
+    )
+    lr = 1e-2 / max(float(np.abs(np.asarray(grad)).max()), 1e-8)
+    loss1, _ = step(jnp.asarray(cs.params) - lr * grad)
+    assert float(loss1) < float(loss0)
