@@ -40,7 +40,7 @@ def optimize_to_target(
     callback: Optional[Callable[[int, float], None]] = None,
     geometry: str = "faithful",
     edge_grad: bool = False,
-    edge_beta: float = 1.0,
+    edge_beta: float = 0.5,
     march: str = "xla",
 ) -> OptimizeResult:
     """Adam-optimize the parameter vector toward a target image.

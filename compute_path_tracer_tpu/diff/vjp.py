@@ -223,7 +223,7 @@ def render_pixels_diff(
     implicit: bool = True,
     geometry: str = "faithful",
     edge_grad: bool = False,
-    edge_beta: float = 1.0,
+    edge_beta: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -273,7 +273,11 @@ def render_pixels_diff(
     converges to.  ``proxy`` is the pixel's own radiance on hit lanes and the
     closest shape's emissive on miss lanes.  Secondary-bounce visibility
     edges remain uncaptured (documented limitation).  ``edge_beta`` scales
-    the coverage bandwidth in pixel-footprint units.
+    the coverage bandwidth in pixel-footprint units; the default 0.5 is
+    CALIBRATED against the spp-averaged finite difference of the loss on
+    the flat-lit-sphere scene (benchmarks/edge_calibration.py, artifact
+    benchmarks/artifacts/edge_calibration_r03.jsonl: ratios 0.79-1.51
+    across target offsets 0.1-0.3, vs 0.44-0.95 at the former beta=1).
     """
     if not implicit:
         return render_pixels(
@@ -401,7 +405,7 @@ def render_image_diff(
     implicit: bool = True,
     geometry: str = "faithful",
     edge_grad: bool = False,
-    edge_beta: float = 1.0,
+    edge_beta: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -440,7 +444,7 @@ def make_loss(
     implicit: bool = True,
     geometry: str = "faithful",
     edge_grad: bool = False,
-    edge_beta: float = 1.0,
+    edge_beta: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",

@@ -94,6 +94,34 @@ def test_edge_grad_matches_finite_difference_sign_and_scale(cs):
     assert 0.2 < abs(g) / abs(fd) < 5.0, (g, fd)
 
 
+def test_edge_grad_calibrated_magnitude(cs):
+    """Calibrated-band check: against the quantity the estimator actually
+    models - the derivative of the spp-AVERAGED (AA-jitter expectation)
+    loss - the default edge_beta must land within a 2x band.  The full
+    sweep (3 offsets x 5 betas, spp 16) lives in
+    benchmarks/artifacts/edge_calibration_r03.jsonl; this is its fast
+    regression (one offset, spp 8): beta=0.5 measured ratios 0.79-1.51."""
+    spp = 8
+    p = np.asarray(cs.params, np.float32).copy()
+    p[_pos_x_slot(cs)] += 0.2
+    target = render_image_diff(cs.spec, jnp.asarray(p), width=W, height=H,
+                               bounces=0, spp=spp)
+    pv = jnp.asarray(cs.params)
+    loss_spp = make_loss(cs.spec, target, width=W, height=H, bounces=0,
+                         spp=spp, edge_grad=False)
+    eps = 0.05
+    s = _pos_x_slot(cs)
+    dp = np.zeros_like(np.asarray(pv))
+    dp[s] = eps
+    fd = (float(loss_spp(pv + jnp.asarray(dp)))
+          - float(loss_spp(pv - jnp.asarray(dp)))) / (2 * eps)
+    loss_e = make_loss(cs.spec, target, width=W, height=H, bounces=0,
+                       spp=spp, edge_grad=True)
+    g = float(jax.grad(loss_e)(pv)[s])
+    assert np.sign(g) == np.sign(fd), (g, fd)
+    assert 0.5 < abs(g) / abs(fd) < 2.0, (g, fd, g / fd)
+
+
 def test_edge_grad_recovers_position(cs):
     """Inverse rendering THROUGH the silhouette: recover a position offset
     that smooth gradients cannot see (the CLI exposes the same demo via
