@@ -195,7 +195,8 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
 
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
-                       gaps=None, p_margin=0.05, with_stats=False):
+                       gaps=None, p_margin=0.05, with_stats=False,
+                       omega=1.0):
     """Sphere march with PER-STEP t-interval + position-hull shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -235,19 +236,35 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     eps-level edge effect measured at <0.1% of pixels; everything else is
     exact because active shapes use the same fold.
 
+    OVER-RELAXATION (``omega > 1``, opt-in, NOT reference-faithful): steps
+    are stretched to ``omega * |d|`` with the classic sphere-overlap
+    safeguard (Keinert et al. enhanced sphere tracing): if the new sample's
+    unbounding sphere no longer overlaps the previous one
+    (``step > d_prev + d``), the stretched step may have tunneled - the
+    lane REVERTS to the conservative step ``t_prev + d_prev`` and continues.
+    No surface can be missed (every accepted advance is covered by
+    unbounding spheres), but the tap sequence - and therefore the exact
+    sub-MHD landing t - differs from the reference march; measured image
+    deltas are recorded by benchmarks/variants rows, and the mode stays off
+    every parity benchmark.
+
     Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
     """
     t0 = ro.x * 0.0
+    relax = float(omega) != 1.0
     # Lanes already dead in the bounce loop start the march done: their
     # frozen rays must neither extend the while_loop nor widen the t-front.
     done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
 
     def cond(c):
-        step, _t, _tp, done_i, _act = c
+        step, done_i = c[0], c[3]
         return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
 
     def body(c):
-        step, t, tp, done_i, actacc = c
+        if relax:
+            step, t, tp, done_i, d_prev, s_prev, f_prev, actacc = c
+        else:
+            step, t, tp, done_i, actacc = c
         done = done_i != 0
         t_hi = jnp.max(jnp.where(done, -_BIG, t))
         t_lo = jnp.min(jnp.where(done, _BIG, t))
@@ -277,15 +294,48 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
         p = ro + rd * t
         d = map_d_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
-        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g - t), MHD))
-        nt = jnp.where(done, t, t + step_len)
-        ntp = jnp.where(done, tp, t)
-        ndone = done | (ad < MHD) | (nt > FP)
-        return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
+        clamp = jnp.maximum(jnp.minimum(m - t, g - t), MHD)
+        if not relax:
+            step_len = jnp.minimum(ad, clamp)
+            nt = jnp.where(done, t, t + step_len)
+            ntp = jnp.where(done, tp, t)
+            ndone = done | (ad < MHD) | (nt > FP)
+            return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
+        # Overlap check on SIGNED distances: a stretched step is only valid
+        # if the unbounding spheres overlap, s_prev <= d_prev + d; signed d
+        # makes a sign crossing (surface between the samples) fire the test
+        # even when |d| alone looks safe - the horizon-grazing tunnel caught
+        # by tests/test_overrelax.py.  On failure the lane REVERTS to the
+        # step the faithful march would have taken from the previous sample
+        # (f_prev = min(|d|, clamp) THERE - the clamp keeps reverts out of
+        # pending boxes too).  Stretching applies only to EXTERIOR samples
+        # (d > 0): interior lanes (refraction) march faithfully, so the
+        # exit-surface shell cannot be jumped and reverts cannot loop.
+        overshoot = (~done) & (d_prev > 0.0) & (s_prev > d_prev + d)
+        step_len = jnp.where(
+            d > 0.0, jnp.minimum(jnp.float32(omega) * ad, clamp),
+            jnp.minimum(ad, clamp),
+        )
+        f_here = jnp.minimum(ad, clamp)
+        nt = jnp.where(done, t, jnp.where(overshoot, tp + f_prev,
+                                          t + step_len))
+        ntp = jnp.where(done, tp, jnp.where(overshoot, tp, t))
+        nd_prev = jnp.where(done, d_prev, jnp.where(overshoot, d_prev, d))
+        ns_prev = jnp.where(done, s_prev,
+                            jnp.where(overshoot, f_prev, step_len))
+        nf_prev = jnp.where(done, f_prev,
+                            jnp.where(overshoot, f_prev, f_here))
+        hit = jnp.logical_and(~overshoot, ad < MHD)
+        ndone = done | hit | (nt > FP)
+        return (step + 1, nt, ntp, ndone.astype(jnp.int32),
+                nd_prev, ns_prev, nf_prev, actacc)
 
-    steps, t, tp, _, actacc = lax.while_loop(
-        cond, body, (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
-    )
+    if relax:
+        init = (jnp.int32(0), t0, t0, done0, t0, t0, t0, jnp.float32(0.0))
+        steps, t, tp, _, _, _, _, actacc = lax.while_loop(cond, body, init)
+    else:
+        init = (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
+        steps, t, tp, _, actacc = lax.while_loop(cond, body, init)
     if with_stats:
         return t, tp, steps, actacc
     return t, tp
@@ -457,6 +507,8 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
     per-step actives from in-loop reductions (as the t-cull body does)
     avoids the replicated-layout join.  Caught by the `pytest -m tpu`
     hardware lane; interpret mode never sees the difference.
+    [Mosaic workaround; observed on jax/jaxlib 0.9.0 + libtpu 0.0.34 -
+    tests/test_tpu.py:test_mosaic_workaround_toolchain_witness]
 
     Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
     """
@@ -471,7 +523,8 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                      pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
-                     box_offs=None, stats=False, cluster_info=None):
+                     box_offs=None, stats=False, cluster_info=None,
+                     omega=1.0):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -567,7 +620,7 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                         if box_offs is not None else None)
                 out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
                                          ivals, alive=alive, gaps=gaps,
-                                         with_stats=stats)
+                                         with_stats=stats, omega=omega)
                 if stats:
                     t, tp, msteps, mact = out
                     steps_tot = steps_tot + msteps.astype(jnp.float32)
@@ -680,7 +733,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int, sub_rows: int,
                  geometry: str = "faithful", normals: str = "central",
                  t_cull: bool = False, p_cull: bool = False,
-                 clusters: bool = False, cond_group: int = 1):
+                 clusters: bool = False, cond_group: int = 1,
+                 omega: float = 1.0):
     """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
     independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
 
@@ -780,7 +834,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
                     normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
-                    cluster_info=cluster_info,
+                    cluster_info=cluster_info, omega=omega,
                 )
                 if debug == 3:
                     col = Vec3.splat(
@@ -811,7 +865,9 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 # in destination but not in source", caught by `pytest -m
                 # tpu`); the ids fold compiles everywhere and these paths
                 # are single-march diagnostics where its extra int32 selects
-                # cost nothing measurable.
+                # cost nothing measurable.  [Mosaic workaround; observed on
+                # jax/jaxlib 0.9.0 + libtpu 0.0.34 - see
+                # tests/test_tpu.py:test_mosaic_workaround_toolchain_witness]
                 if t_cull:
                     checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
                     ivals = _interval_scalars(checks, tns, tfs)
@@ -867,7 +923,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows",
         "geometry", "normals", "t_cull", "p_cull", "clusters", "cond_group",
-        "interpret",
+        "omega", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -893,6 +949,7 @@ def _pallas_frame_planes(
     p_cull: bool = False,
     clusters: bool = False,
     cond_group: int = 1,
+    omega: float = 1.0,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -913,7 +970,7 @@ def _pallas_frame_planes(
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows,
                           geometry, normals, t_cull, p_cull, clusters,
-                          cond_group)
+                          cond_group, omega)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -968,6 +1025,7 @@ def render_frame_pallas(
     p_cull: bool = False,
     clusters: bool = False,
     cond_group: int = 1,
+    omega: float = 1.0,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -1009,6 +1067,7 @@ def render_frame_pallas(
         p_cull=p_cull,
         clusters=clusters,
         cond_group=cond_group,
+        omega=omega,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))
