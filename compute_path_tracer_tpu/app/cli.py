@@ -160,6 +160,12 @@ def cmd_demo(args) -> int:
         from ..kernels import render_frame_pallas
 
         frame_fn = render_frame_pallas
+    if args.tui:
+        from ..app.tui import run_tui
+
+        run_tui(scene, args.width, args.height, settings=settings,
+                frame_fn=frame_fn)
+        return 0
     sess = RenderSession(scene, args.width, args.height, settings, frame_fn=frame_fn)
     print(f"watching {args.scene} (ctrl-c to stop); renders -> {args.out}")
     try:
@@ -233,6 +239,9 @@ def main(argv=None) -> int:
     d.add_argument("--out", default="live.png")
     d.add_argument("--max-events", type=int, default=None,
                    help="stop after N edits (default: run until ctrl-c)")
+    d.add_argument("--tui", action="store_true",
+                   help="interactive terminal editor (arrow-key param "
+                   "nudging on the live scene tree) instead of file-watch")
     d.set_defaults(fn=cmd_demo)
 
     i = sub.add_parser("info", help="device / topology info")
