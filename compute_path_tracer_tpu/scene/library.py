@@ -179,10 +179,15 @@ def glass_demo() -> Scene:
     return Scene([root, env], name="glass_demo")
 
 
-def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:
+def benchmark_scene(n_prims: int = 64, seed: int = 7,
+                    spacing: float = 1.6) -> Scene:
     """The 64-primitive CSG benchmark scene from BASELINE.json: a jittered
     grid of spheres/cubes/octahedra with varied materials, a ground plane and
-    two emissive spheres.  Deterministic for reproducible benchmarks."""
+    two emissive spheres.  Deterministic for reproducible benchmarks.
+
+    ``spacing`` scales the grid pitch (default 1.6 = the BASELINE scene);
+    large values give a SPARSE scene (mostly empty tiles) for evaluating the
+    opt-in culling variants (benchmarks/optin_benchmark.py)."""
     import random
 
     rng = random.Random(seed)
@@ -198,9 +203,9 @@ def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:
                     break
                 kind = rng.choice((KIND_SPHERE, KIND_SPHERE, KIND_CUBE, KIND_OCTAHEDRON))
                 s = root.add_shape(Shape(kind, name=f"P{placed}"))
-                x = (ix - side / 2.0) * 1.6 + rng.uniform(-0.3, 0.3)
-                y = (iy - side / 2.0) * 1.6 + rng.uniform(-0.3, 0.3)
-                z = (iz - side / 2.0) * 1.6 + rng.uniform(-0.3, 0.3) + 3.0
+                x = (ix - side / 2.0) * spacing + rng.uniform(-0.3, 0.3)
+                y = (iy - side / 2.0) * spacing + rng.uniform(-0.3, 0.3)
+                z = (iz - side / 2.0) * spacing + rng.uniform(-0.3, 0.3) + 3.0
                 s.transform.position.set(x, y, z)
                 s.transform.rotation.set(
                     rng.uniform(0, 3.14), rng.uniform(0, 3.14), 0.0
@@ -229,7 +234,9 @@ def benchmark_scene(n_prims: int = 64, seed: int = 7) -> Scene:
         lamp.transform.aabb = False
         _set_mat(lamp, color=(0.0, 0.0, 0.0), brightness=8.0, light=(1.0, 0.93, 0.85))
 
-    return Scene([root], name=f"benchmark_{n_prims}")
+    name = (f"benchmark_{n_prims}" if spacing == 1.6
+            else f"benchmark_{n_prims}_sp{spacing:g}")
+    return Scene([root], name=name)
 
 
 def edge_demo() -> Scene:
