@@ -60,14 +60,16 @@ def main():
                 for k in jax.random.split(ks[0], 13))
 
     def timed(name, fn, *args):
+        def sync(o):
+            np.asarray(jax.tree.leaves(o)[0]).ravel()[:2].sum()
+
         out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0][:2, :2] if hasattr(
-            jax.tree.leaves(out)[0], 'shape') else out).sum()
+        sync(out)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0][:2]).sum()
+        sync(out)
         dt = (time.perf_counter() - t0) / reps
         print(json.dumps({"probe": name, "ms": dt * 1e3}), flush=True)
         return dt

@@ -37,24 +37,27 @@ def _scene():
 
     root = Union(name="Root")
     wall = root.add_shape(Shape(KIND_CUBE, name="Wall"))
-    wall.size3.set(1.2, 1.2, 0.05)
+    wall.size3.set(1.5, 1.5, 0.05)
     wall.transform.position.set(0.0, 0.0, 1.5)
     wall.material.color.set(0.7, 0.7, 0.7)
 
-    # Emitter far left, outside the frustum (camera at (0,0,-3), fov 1:
-    # the frustum half-angle is 45 deg; the emitter sits ~70 deg off-axis).
+    # The bench renders with fov=3 (narrow frustum, half-angle ~18 deg), so
+    # both the emitter and the occluder below sit far outside the image -
+    # nothing of either silhouette ever reaches a primary ray.
     emit = root.add_shape(Shape(KIND_SPHERE, name="Emitter"))
-    emit.size.set(0.6)
-    emit.transform.position.set(-4.0, 0.0, 0.2)
+    emit.size.set(1.0)
+    emit.transform.position.set(-3.5, 0.0, 0.3)
     emit.material.color.set(0.0, 0.0, 0.0)
-    emit.material.brightness.set(30.0)
+    emit.material.brightness.set(40.0)
     emit.material.light_col.set(1.0, 1.0, 1.0)
 
-    # Occluder between wall and emitter, also outside the frustum.
+    # Occluder between wall and emitter, off-center in +y so its shadow
+    # boundary cuts the emitter's visibility from the wall roughly in half:
+    # moving it in y sweeps the SECONDARY silhouette.
     occ = root.add_shape(Shape(KIND_CUBE, name="Occluder"))
-    occ.size3.set(0.05, 0.9, 0.9)
-    occ.transform.position.set(-2.0, 0.0, 0.8)
-    occ.material.color.set(0.1, 0.1, 0.1)
+    occ.size3.set(0.05, 0.75, 1.5)
+    occ.transform.position.set(-2.0, 0.75, 0.75)
+    occ.material.color.set(0.02, 0.02, 0.02)
     return Scene([root])
 
 
@@ -68,6 +71,7 @@ def main():
     W = H = 48
     SPP = 16
     BOUNCES = 1
+    FOV = 3.0
 
     cs = compile_scene(_scene())
     pv = jnp.asarray(cs.params, jnp.float32)
@@ -76,11 +80,11 @@ def main():
     slot_wall_x = shapes[0].transform.pos[0]  # wall x: a primary silhouette
 
     target = render_image_diff(cs.spec, pv, width=W, height=H,
-                               bounces=BOUNCES, spp=SPP) * 0.0  # zero target
+                               bounces=BOUNCES, spp=SPP, fov=FOV) * 0.0
     loss_spp = make_loss(cs.spec, np.asarray(target), width=W, height=H,
-                         bounces=BOUNCES, spp=SPP, edge_grad=False)
+                         bounces=BOUNCES, spp=SPP, fov=FOV, edge_grad=False)
     loss_edge = make_loss(cs.spec, np.asarray(target), width=W, height=H,
-                          bounces=BOUNCES, spp=SPP, edge_grad=True)
+                          bounces=BOUNCES, spp=SPP, fov=FOV, edge_grad=True)
 
     def fd(slot, eps):
         dp = np.zeros_like(np.asarray(pv))

@@ -441,6 +441,7 @@ def make_loss(
     height: int,
     bounces: int = 2,
     spp: int = 1,
+    fov: float = DEFAULT_FOV,
     implicit: bool = True,
     geometry: str = "faithful",
     edge_grad: bool = False,
@@ -456,7 +457,7 @@ def make_loss(
     def loss(params):
         img = render_image_diff(
             spec, params, width=width, height=height, bounces=bounces,
-            spp=spp, implicit=implicit, geometry=geometry,
+            spp=spp, fov=fov, implicit=implicit, geometry=geometry,
             edge_grad=edge_grad, edge_beta=edge_beta, march=march,
             march_interpret=march_interpret, normals=normals, remat=remat,
         )

@@ -49,6 +49,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -57,12 +58,18 @@ from ..constants import DEFAULT_FOV, FP, MHD
 from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
 from ..render.baked import (
+    _GEOM_SLOTS,
+    GEOM_CHANNELS,
     bake,
+    baked_geom_slot_matrix,
+    baked_shapes_in_order,
+    leaf_distance_from_planes,
     make_bounds_baked,
     make_map_baked,
     make_map_baked_d,
 )
-from ..render.reference import Mat, gather_material, shade_bounce
+from ..scene.compile import OP_UNION
+from ..render.reference import Mat, shade_bounce
 from ..render.scenegen import material_slot_matrix
 from ..scene.compile import SceneSpec
 from ..vecmath import Vec3, vwhere
@@ -90,6 +97,20 @@ _DENOM_EPS = 1e-6  # implicit-gradient denominator clamp (diff/vjp.py)
 _MAT_CHANNELS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
 
 
+def _union_only(spec: SceneSpec) -> bool:
+    """True when every CSG op in the tree is a plain union - the regime
+    where the map's parameter cotangent flows ONLY through the per-pixel
+    argmin leaf (a min-fold's vjp routes everything to the winner), so the
+    f_theta reduction needs no map transpose at all."""
+
+    def walk(u):
+        if u.op != OP_UNION:
+            return False
+        return all(walk(c) for c in u.children_unions)
+
+    return all(walk(r) for r in spec.roots)
+
+
 def _mat_flat(m: Mat):
     """The emitted-channel view of a Mat, in _MAT_CHANNELS order."""
     return (
@@ -100,17 +121,48 @@ def _mat_flat(m: Mat):
     )
 
 
+def _segment_matmul(seg_idx, cot, n_shapes):
+    """Per-(shape, channel) sums of cotangent planes grouped by winner id,
+    as one one-hot matmul per bounce: (lanes, S)^T @ (lanes, C) -> (S, C).
+
+    This replaces gather-transpose scatter-adds, which XLA lowers to a
+    serial scatter on TPU - measured 2.1 s for the material reduction at
+    1080p (benchmarks/artifacts/probe_outside_reduction_r03.jsonl) vs
+    milliseconds of MXU matmul here.  ``idx == -1`` (miss/MDEF) lanes match
+    no one-hot column and drop out, reproducing gather_material's validity
+    masking.
+    """
+    b1, n_chan = cot.shape[0], cot.shape[1]
+    ids = jnp.arange(n_shapes, dtype=seg_idx.dtype)
+    out = jnp.zeros((n_shapes, n_chan), jnp.float32)
+    for b in range(b1):
+        idx_f = seg_idx[b].reshape(-1)
+        oh = (idx_f[:, None] == ids[None, :]).astype(jnp.float32)
+        cots = jnp.transpose(cot[b].reshape(n_chan, -1))
+        out = out + lax.dot_general(
+            oh, cots, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
 def _make_train_kernel(spec: SceneSpec, width: int, height: int,
-                       bounces: int, tile_h: int, tile_w: int):
+                       bounces: int, tile_h: int, tile_w: int,
+                       winner_geom: bool):
     B1 = bounces + 1
     map_ids = make_map_baked(spec)
     map_d = make_map_baked_d(spec)
     bounds_fn = make_bounds_baked(spec, with_t=True)
+    leaf_shapes = baked_shapes_in_order(spec) if winner_geom else ()
 
     def kernel(iparams_ref, fparams_ref, params_ref, bv_ref, target_ref,
                col_ref, seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
-               seg_scale_ref, mat_cot_ref,
-               thr_s, g_s, invd_s, rng_s, alive_s):
+               seg_scale_ref, mat_cot_ref, *rest):
+        if winner_geom:
+            geom_cot_ref = rest[0]
+            thr_s, g_s, invd_s, rng_s, alive_s = rest[1:]
+        else:
+            thr_s, g_s, invd_s, rng_s, alive_s = rest
         frame = iparams_ref[0]
         row_offset = iparams_ref[1]
         # Rows at/after y_limit are tile padding (or another shard's band):
@@ -294,9 +346,45 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             ro_c, rd_c, thr_c, t_cot, mat_cot = vjp_fn(
                 (ro_c, rd_c, thr_c, col_cot)
             )
-            seg_scale_ref[b] = -t_cot * invd_b
+            scale_b = -t_cot * invd_b
+            seg_scale_ref[b] = scale_b
             for c, cot in enumerate(_mat_flat(mat_cot)):
                 mat_cot_ref[b, c] = cot
+
+            if winner_geom:
+                # Winner-leaf parameter partials: per pixel, the f_theta
+                # cotangent of a union-only map flows only through the
+                # argmin leaf - vjp each leaf's elementwise distance w.r.t.
+                # per-pixel BROADCAST slot copies (no cross-lane scatter),
+                # seeded with the winner-masked scale plane, gated by a
+                # tile-uniform "any lane won this shape" cond.
+                hit_b = ro_b + rd_b * t_b
+                ch = tuple(zero for _ in range(GEOM_CHANNELS))
+                for bs in leaf_shapes:
+                    nsl = _GEOM_SLOTS[bs.kind]
+                    won = idx_b == bs.shape_id
+                    any_w = jnp.max(won.astype(jnp.int32)) > 0
+
+                    def compute(chs, bs=bs, nsl=nsl, won=won, hit_b=hit_b,
+                                scale_b=scale_b):
+                        seed = jnp.where(won, scale_b, 0.0)
+                        slots = tuple(zero + bv[bs.off + c]
+                                      for c in range(nsl))
+
+                        def f(*sl):
+                            return leaf_distance_from_planes(
+                                bs.kind, hit_b, sl)
+
+                        _, leaf_vjp = jax.vjp(f, *slots)
+                        parts = leaf_vjp(seed)
+                        out = list(chs)
+                        for c in range(nsl):
+                            out[c] = out[c] + parts[c]
+                        return tuple(out)
+
+                    ch = lax.cond(any_w, compute, lambda chs: chs, ch)
+                for c in range(GEOM_CHANNELS):
+                    geom_cot_ref[b, c] = ch[c]
 
     return kernel
 
@@ -304,11 +392,11 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "tile_h", "tile_w",
-                     "interpret"),
+                     "interpret", "winner_geom"),
 )
 def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   row_offset, y_limit, *, width, height, bounces, tile_h,
-                  tile_w, interpret):
+                  tile_w, interpret, winner_geom=False):
     B1 = bounces + 1
     ph, pw = target_planes.shape[1], target_planes.shape[2]
     grid = (ph // tile_h, pw // tile_w)
@@ -319,7 +407,8 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
     fparams = jnp.stack([jnp.asarray(fov, jnp.float32),
                          jnp.asarray(aspect, jnp.float32), seed_scale])
 
-    kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w)
+    kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w,
+                                winner_geom)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def tile3(c):
@@ -347,6 +436,11 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
     )
     out_specs = (tile3(3), tile4(3), tile4(3), tileb(), tileb(), tileb(),
                  tile4(len(_MAT_CHANNELS)))
+    if winner_geom:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((B1, GEOM_CHANNELS, ph, pw), f32),
+        )
+        out_specs = out_specs + (tile4(GEOM_CHANNELS),)
     scratch = [
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # thr
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # g (FD diffs)
@@ -387,13 +481,16 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
     band, padded to tiles) and returns the band's summed squared error, its
     contribution to the GLOBAL mean-loss gradient, and the color planes.
     Single-chip use is the crop_h == height, row_offset == 0 case."""
+    winner_geom = _union_only(spec)
     bv, bake_vjp = jax.vjp(lambda pp: bake(spec, pp), params)
-    col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = _fused_planes(
+    outs = _fused_planes(
         spec, params, bv, target_planes, frame, fov, aspect, row_offset,
         row_offset + crop_h,
         width=width, height=height, bounces=bounces,
         tile_h=tile_h, tile_w=tile_w, interpret=interpret,
+        winner_geom=winner_geom,
     )
+    col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = outs[:7]
     sse = jnp.sum(
         (col[:, :crop_h, :width] - target_planes[:, :crop_h, :width]) ** 2
     )
@@ -403,40 +500,49 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
     def rows(x):  # (B1[, C], PH, PW) -> stacked rows (B1*PH, PW)
         return x.reshape(-1, pw)
 
-    RO = Vec3(rows(seg_ro[:, 0]), rows(seg_ro[:, 1]), rows(seg_ro[:, 2]))
-    RD = Vec3(rows(seg_rd[:, 0]), rows(seg_rd[:, 1]), rows(seg_rd[:, 2]))
-    T = rows(seg_t)
-    SCALE = rows(seg_scale)
+    if winner_geom:
+        # Winner-leaf backend: the kernel already emitted per-pixel
+        # parameter partials x scale for each pixel's argmin leaf; what's
+        # left is the same segment-sum-by-winner-id scatter the material
+        # path uses, through the GEOMETRY slot matrix.
+        geom_cot = outs[7]
+        gslots = baked_geom_slot_matrix(spec)
+        valid = jnp.asarray(gslots >= 0, jnp.float32)
+        safe_slots = jnp.asarray(np.maximum(gslots, 0))
+        _gtab, gtab_vjp = jax.vjp(lambda b: b[safe_slots], bv)
+        gt_cot = _segment_matmul(seg_idx, geom_cot, spec.n_shapes) * valid
+        (gv_cot,) = gtab_vjp(gt_cot)
+    else:
+        RO = Vec3(rows(seg_ro[:, 0]), rows(seg_ro[:, 1]), rows(seg_ro[:, 2]))
+        RD = Vec3(rows(seg_rd[:, 0]), rows(seg_rd[:, 1]), rows(seg_rd[:, 2]))
+        T = rows(seg_t)
+        SCALE = rows(seg_scale)
 
-    # f_theta term of the implicit gradient: one batched map vjp over every
-    # (bounce, pixel) hit point, seeded with the kernel's scale planes
-    # (diff/vjp.py:make_implicit_cast's f_theta_seeded, batched).
-    map_fn = make_map_baked(spec)
-    bounds_fn = make_bounds_baked(spec)
+        # f_theta term of the implicit gradient: one batched map vjp over
+        # every (bounce, pixel) hit point, seeded with the kernel's scale
+        # planes (diff/vjp.py:make_implicit_cast's f_theta_seeded, batched).
+        # Exact for every CSG op, but materializes the full bounds + map
+        # transpose graph at (B1*PH, PW) - the winner-leaf branch above is
+        # the fast path whenever the tree is union-only.
+        map_fn = make_map_baked(spec)
+        bounds_fn = make_bounds_baked(spec)
 
-    def geom_sum(bvv):
-        checks, _ = bounds_fn(RO, RD, lax.stop_gradient(bvv))
-        p = RO + RD * T
-        d, _ = map_fn(p, bvv, checks)
-        return jnp.sum(d * SCALE)
+        def geom_sum(bvv):
+            checks, _ = bounds_fn(RO, RD, lax.stop_gradient(bvv))
+            p = RO + RD * T
+            d, _ = map_fn(p, bvv, checks)
+            return jnp.sum(d * SCALE)
 
-    gv_cot = jax.grad(geom_sum)(bv)
+        gv_cot = jax.grad(geom_sum)(bv)
     (g_geom,) = bake_vjp(gv_cot)
 
-    # Material term: gather transpose (scatter-add by winning id) seeded
-    # with the kernel's per-channel cotangent planes.
+    # Material term: per-(shape, channel) sums by winner id (one-hot
+    # matmuls), then the small (n_shapes x 18) scatter into params.
     slots = jnp.asarray(material_slot_matrix(spec))
     mat_table, tab_vjp = jax.vjp(lambda pp: pp[slots], params)
-    IDX = rows(seg_idx)
-
-    def mat_sum(mt):
-        m = gather_material(mt, IDX)
-        s = jnp.float32(0.0)
-        for c, plane in enumerate(_mat_flat(m)):
-            s = s + jnp.sum(plane * rows(mat_cot[:, c]))
-        return s
-
-    mt_cot = jax.grad(mat_sum)(mat_table)
+    g_chan = _segment_matmul(seg_idx, mat_cot, spec.n_shapes)
+    mt_cot = jnp.zeros_like(mat_table)
+    mt_cot = mt_cot.at[:, jnp.asarray(_MAT_CHANNELS)].set(g_chan)
     (g_mat,) = tab_vjp(mt_cot)
     return sse, g_geom + g_mat, col
 

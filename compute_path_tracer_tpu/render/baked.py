@@ -641,6 +641,69 @@ def baked_box_offsets(spec: SceneSpec):
     return tuple(offs)
 
 
+GEOM_CHANNELS = max(_GEOM_SLOTS.values())  # widest leaf slot count (cube: 15)
+
+
+def baked_geom_slot_matrix(spec: SceneSpec):
+    """Static ``(n_shapes, GEOM_CHANNELS)`` matrix of bv slot indices: row s
+    holds shape s's baked geometry slots (``BakedShape.off + c``), padded
+    with -1 past the leaf's slot count.
+
+    The winner-leaf gradient backend (kernels/train.py) scatter-adds
+    per-(shape, channel) cotangent sums through this matrix - the geometry
+    analog of scenegen.material_slot_matrix."""
+    import numpy as _np
+
+    layout = baked_layout(spec)
+    m = _np.full((layout.n_shapes, GEOM_CHANNELS), -1, _np.int64)
+
+    def walk(bu: BakedUnion):
+        for cu in bu.children_unions:
+            walk(cu)
+        for bs in bu.children_shapes:
+            n = _GEOM_SLOTS[bs.kind]
+            m[bs.shape_id, :n] = _np.arange(bs.off, bs.off + n)
+
+    for broot in layout.roots:
+        walk(broot)
+    return m
+
+
+def baked_shapes_in_order(spec: SceneSpec):
+    """All BakedShape leaves in walk order (for per-leaf codegen)."""
+    layout = baked_layout(spec)
+    out = []
+
+    def walk(bu: BakedUnion):
+        for cu in bu.children_unions:
+            walk(cu)
+        out.extend(bu.children_shapes)
+
+    for broot in layout.roots:
+        walk(broot)
+    return tuple(out)
+
+
+def leaf_distance_from_planes(kind: int, p: Vec3, sl):
+    """:func:`_leaf_distance` with the leaf's bv slots given as (broadcast)
+    ARRAYS instead of scalar reads - the differentiable-per-pixel form the
+    winner-leaf gradient backend vjps (each pixel's slot copy is an
+    independent input, so the vjp yields per-pixel parameter partials with
+    no cross-lane scatter)."""
+    if kind == KIND_SPHERE:
+        return Vec3(p.x - sl[0], p.y - sl[1], p.z - sl[2]).length_safe() - sl[3]
+    if kind == KIND_PLANE:
+        return sl[0] * p.x + sl[1] * p.y + sl[2] * p.z + sl[3]
+    q = Vec3(
+        sl[0] * p.x + sl[1] * p.y + sl[2] * p.z + sl[9],
+        sl[3] * p.x + sl[4] * p.y + sl[5] * p.z + sl[10],
+        sl[6] * p.x + sl[7] * p.y + sl[8] * p.z + sl[11],
+    )
+    if kind == KIND_CUBE:
+        return sd_cube(q, Vec3(sl[12], sl[13], sl[14]))
+    return sd_octahedron(q, sl[12])
+
+
 def _union_pred_cl(bu: BakedUnion, sact, cact, shape_cluster):
     """Tile-level skip predicate for a union in the clustered map: OR of its
     descendant clusters' actives, unclustered boxed shapes' actives, and True

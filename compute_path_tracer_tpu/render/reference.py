@@ -164,11 +164,19 @@ def calc_normal_autodiff(map_fn, p: Vec3, pv, checks) -> Vec3:
 
 def refract_dir(i: Vec3, n: Vec3, eta):
     """GLSL ``refract(I, N, eta)``: Snell refraction, zero vector on total
-    internal reflection, with gradient-safe sqrt."""
+    internal reflection, with gradient-safe sqrt.
+
+    The sqrt guard must be STRICT (k > 0): at exactly k == 0 (grazing
+    incidence; reachable in fp when eta == 1) sqrt'(0) = inf enters the
+    reverse sweep and 0 * inf = NaN poisons the ior/refract_chance
+    cotangents even on lanes whose refracted direction is never consumed -
+    observed as isolated-pixel NaNs in the fused kernel's material
+    cotangent planes at 1080p."""
     cosi = n.dot(i)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    pos = k > 0.0
+    root = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
     ok = k >= 0.0
-    root = jnp.sqrt(jnp.where(ok, k, 0.0))
     out = i * eta - n * (eta * cosi + root)
     return vwhere(ok, out, Vec3.splat(jnp.zeros_like(k))), ok
 

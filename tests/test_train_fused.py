@@ -73,6 +73,33 @@ def test_fused_grads_match_detached_pallas_oracle(cs, target, fused):
                                atol=1e-4 * scale)
 
 
+def test_winner_geom_backend_matches_oracle():
+    """Union-only scenes take the winner-leaf geometry backend (per-pixel
+    argmin-leaf partials in-kernel + one-hot-matmul segment sums outside,
+    no map transpose anywhere); its gradients must match the detached
+    oracle like the map-vjp fallback does."""
+    from compute_path_tracer_tpu.kernels.train import _union_only
+    from compute_path_tracer_tpu.scene import sphere_and_plane
+
+    cs2 = compile_scene(sphere_and_plane())
+    assert _union_only(cs2.spec)
+    rng = np.random.default_rng(1)
+    tgt = rng.random((H, W, 3)).astype(np.float32) * 0.3
+    step = make_fused_value_and_grad(cs2.spec, tgt, width=W, height=H,
+                                     bounces=BOUNCES, interpret=True)
+    loss_f, grad_f = step(jnp.asarray(cs2.params))
+
+    loss_fn = make_loss(cs2.spec, tgt, width=W, height=H, bounces=BOUNCES,
+                        geometry="baked", normals="detached", march="pallas",
+                        march_interpret=True)
+    val_o, grad_o = jax.value_and_grad(loss_fn)(jnp.asarray(cs2.params))
+    assert abs(float(loss_f) - float(val_o)) < 1e-6
+    go = np.asarray(grad_o)
+    scale = np.abs(go).max()
+    np.testing.assert_allclose(np.asarray(grad_f), go, rtol=1e-3,
+                               atol=1e-4 * scale)
+
+
 def test_fused_grad_descends(cs, target, fused):
     """One SGD step along the fused gradient must reduce the fused loss
     (end-to-end sanity that the gradient is a descent direction)."""
