@@ -127,6 +127,7 @@ def cmd_optimize(args) -> int:
         cs.spec, init, target, width=args.width, height=args.height,
         bounces=args.bounces, spp=args.spp, steps=args.steps,
         learning_rate=args.lr, param_mask=mask, edge_grad=args.edge_grad,
+        fused=args.fused,
         callback=lambda i, l: print(f"step {i:4d} loss {l:.6f}")
         if i % max(1, args.steps // 10) == 0 else None,
     )
@@ -218,6 +219,9 @@ def main(argv=None) -> int:
     o.add_argument("--steps", type=int, default=50)
     o.add_argument("--lr", type=float, default=2e-2)
     o.add_argument("--perturb", type=float, default=0.05)
+    o.add_argument("--fused", action="store_true",
+                   help="use the fused train kernel (kernels/train.py): "
+                   "forward + per-pixel backward on-chip")
     o.add_argument("--perturb-what", default="all", choices=("all", "position"),
                    help="'position': offset one shape's x and recover it "
                         "(pair with --edge-grad)")

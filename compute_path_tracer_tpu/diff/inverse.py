@@ -42,6 +42,8 @@ def optimize_to_target(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     march: str = "xla",
+    fused: bool = False,
+    interpret: bool = None,
 ) -> OptimizeResult:
     """Adam-optimize the parameter vector toward a target image.
 
@@ -50,13 +52,37 @@ def optimize_to_target(
     reparameterized silhouette gradient (diff/vjp.py) - required when the
     optimized parameter only moves visibility edges (e.g. recovering a
     flat-lit shape's POSITION, where smooth gradients are zero almost
-    everywhere).  Returns final params and the per-step loss trace.
+    everywhere).  ``fused=True`` swaps the XLA value_and_grad for the fused
+    train kernel (kernels/train.py: forward + per-pixel backward in one
+    Pallas kernel; detached-normal gradient semantics, spp=1, no edge
+    term) - the fast path for material/large-scene optimization.  Returns
+    final params and the per-step loss trace.
     """
-    loss_fn = make_loss(
-        spec, target, width=width, height=height, bounces=bounces, spp=spp,
-        implicit=implicit, geometry=geometry, edge_grad=edge_grad,
-        edge_beta=edge_beta, march=march,
-    )
+    if fused:
+        from ..kernels.train import make_fused_value_and_grad
+
+        if edge_grad or spp != 1:
+            raise ValueError(
+                "fused=True supports spp=1 without edge_grad; use the XLA "
+                "path for edge-gradient or multi-sample optimization"
+            )
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        vag = make_fused_value_and_grad(
+            spec, target, width=width, height=height, bounces=bounces,
+            interpret=interpret,
+        )
+    else:
+        loss_fn = make_loss(
+            spec, target, width=width, height=height, bounces=bounces,
+            spp=spp, implicit=implicit, geometry=geometry,
+            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+        )
+
+        def vag(params, frame=0):
+            del frame
+            return jax.value_and_grad(loss_fn)(params)
+
     opt = optimizer or optax.adam(learning_rate)
     params = jnp.asarray(init_params, jnp.float32)
     mask = None if param_mask is None else jnp.asarray(param_mask, jnp.float32)
@@ -64,7 +90,7 @@ def optimize_to_target(
 
     @jax.jit
     def step(params, opt_state):
-        loss, grad = jax.value_and_grad(loss_fn)(params)
+        loss, grad = vag(params)
         if mask is not None:
             grad = grad * mask
         updates, opt_state = opt.update(grad, opt_state, params)

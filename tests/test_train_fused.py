@@ -100,6 +100,30 @@ def test_winner_geom_backend_matches_oracle():
                                atol=1e-4 * scale)
 
 
+def test_fused_optimizer_path():
+    """optimize_to_target(fused=True) drives Adam with the fused kernel and
+    reduces the loss on a material-perturbation self-target."""
+    from compute_path_tracer_tpu.diff import optimize_to_target, render_image_diff
+    from compute_path_tracer_tpu.scene import sphere_and_plane
+
+    cs2 = compile_scene(sphere_and_plane())
+    target = np.asarray(render_image_diff(
+        cs2.spec, jnp.asarray(cs2.params), width=32, height=16, bounces=1,
+        geometry="baked",
+    ))
+    rng = np.random.default_rng(2)
+    init = np.asarray(cs2.params, np.float32)
+    init = init + rng.normal(0, 0.05, init.shape).astype(np.float32)
+    res = optimize_to_target(
+        cs2.spec, init, target, width=32, height=16, bounces=1, steps=12,
+        learning_rate=2e-2, fused=True, interpret=True,
+    )
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses).all()
+    # Adam's early steps may wander; the trajectory must still descend.
+    assert losses[1:].min() < losses[0]
+
+
 def test_fused_grad_descends(cs, target, fused):
     """One SGD step along the fused gradient must reduce the fused loss
     (end-to-end sanity that the gradient is a descent direction)."""
