@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-W, H, BOUNCES, N_PRIMS = 1920, 1080, 8, 64
+# 1088 rows: divisible by the (64,128) kernel tile for every mesh size
+# used here (the sharded path requires band_h % tile_h == 0).
+W, H, BOUNCES, N_PRIMS = 1920, 1088, 8, 64
 REPS = 3
 
 # v5e ICI: 4 links/chip x ~100 GB/s/link full-duplex (public v5e specs);
@@ -92,10 +94,27 @@ def main():
         vg = jax.jit(jax.value_and_grad(loss))
         t_train_direct = _timed(vg, pv)
 
+        from compute_path_tracer_tpu.kernels.train import (
+            make_fused_value_and_grad,
+        )
+        from compute_path_tracer_tpu.parallel import (
+            make_fused_sharded_train_step,
+        )
+
+        fstep = make_fused_value_and_grad(
+            cs.spec, target, width=W, height=H, bounces=BOUNCES,
+        )
+        t_fused_direct = _timed(fstep, pv)
+        fss = make_fused_sharded_train_step(
+            cs.spec, mesh, width=W, height=H, bounces=BOUNCES,
+        )
+        t_fused_shard = _timed(fss, pv, tgt_dev, jnp.int32(0))
+
     psum_bytes = n_params * 4
     t_psum_s = 2 * psum_bytes / (ICI_LINK_GBPS * 1e9) + PSUM_LATENCY_US * 1e-6
     fwd_overhead = t_shard / t_direct - 1.0
     train_overhead = t_train_shard / t_train_direct - 1.0
+    fused_overhead = t_fused_shard / t_fused_direct - 1.0
 
     def eff(n, step_s, overhead):
         per_chip = step_s * (1 + overhead) / n + t_psum_s
@@ -122,6 +141,11 @@ def main():
             "sharded_1dev_ms": t_train_shard * 1e3,
             "overhead_frac": train_overhead,
         },
+        "fused_train_step": {
+            "direct_ms": t_fused_direct * 1e3,
+            "sharded_1dev_ms": t_fused_shard * 1e3,
+            "overhead_frac": fused_overhead,
+        },
         "comm_model": {
             "psum_payload_bytes": psum_bytes,
             "ici_link_gbps_assumed": ICI_LINK_GBPS,
@@ -132,6 +156,7 @@ def main():
             f"n={n}": {
                 "forward": eff(n, t_direct, fwd_overhead),
                 "train": eff(n, t_train_direct, train_overhead),
+                "fused_train": eff(n, t_fused_direct, fused_overhead),
             }
             for n in (2, 4, 8)
         },
