@@ -1,4 +1,10 @@
-"""Wavefront path tracer: bounce-synchronous rendering with ray compaction.
+"""QUARANTINED (round 3): experimental wavefront backend, frozen in round
+2 - the compaction glue costs more than ray-decay saves and binning cannot
+close the gap (ROADMAP).  Moved out of the package per the keep-or-kill
+rule; kept under benchmarks/ for reference.  Run standalone with the repo
+root on sys.path.
+
+Wavefront path tracer: bounce-synchronous rendering with ray compaction.
 
 The second TPU-native re-architecture of the reference's per-pixel megakernel
 (reference: assets/shaders/path_tracer/test_compute.glsl:91-166).  The tile
@@ -42,14 +48,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP
-from ..ops.camera import calc_uv, primary_ray
-from ..ops.rng import gen_rng, random_float01
-from ..render.reference import calc_normal, shade_bounce
-from ..render.scenegen import make_bounds, make_map_culled
-from ..scene.compile import SceneSpec
-from ..vecmath import Vec3, vwhere
-from .megakernel import _anyhit, _final_idx, _make_smem_gather_mat, _march_while
+from compute_path_tracer_tpu.constants import DEFAULT_BOUNCES, DEFAULT_FOV, FP
+from compute_path_tracer_tpu.ops.camera import calc_uv, primary_ray
+from compute_path_tracer_tpu.ops.rng import gen_rng, random_float01
+from compute_path_tracer_tpu.render.reference import calc_normal, shade_bounce
+from compute_path_tracer_tpu.render.scenegen import make_bounds, make_map_culled
+from compute_path_tracer_tpu.scene.compile import SceneSpec
+from compute_path_tracer_tpu.vecmath import Vec3, vwhere
+from compute_path_tracer_tpu.kernels.megakernel import _anyhit, _final_idx, _make_smem_gather_mat, _march_while
 
 # Ray-block geometry: each grid program owns (BLOCK_ROWS, 128) rays of the
 # flat (M, 128) ray buffer.
@@ -340,7 +346,7 @@ def render_frame_wavefront(
     if aspect is None:
         aspect = width / height
     if debug != 0:
-        from .megakernel import render_frame_pallas
+        from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
 
         return render_frame_pallas(
             spec, params, accum, frame, last_clear, width=width, height=height,

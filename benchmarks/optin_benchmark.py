@@ -1,13 +1,17 @@
-"""Keep-or-kill benchmark for the opt-in culling variants.
+"""Keep-or-kill benchmark for the opt-in march variants.
 
 Round 2 measured `p_cull`, `clusters` and `cond_group` SLOWER on the dense
 64-prim benchmark scene but kept them opt-in "for sparse scenes" without a
-sparse-scene measurement.  This benchmark supplies it: the same 64 prims at
-4x the grid pitch (spacing=6.4 - most tiles see zero or one box, the regime
-cluster/hull culling was hypothesized to win) next to the dense baseline.
+sparse-scene measurement.  Round 3 supplied it (artifact optin_r03.jsonl):
+every variant ALSO lost on the sparse scene (p_cull -1.8% noise, clusters
++25%, cond_group +3.6%), so per the decision rule (a variant earns its flag
+by beating t_cull by >10% on either scene) all three were PRUNED from the
+megakernel, along with `sub_rows` subtiling and the frozen wavefront
+backend (quarantined to benchmarks/frozen_wavefront.py).
 
-Decision rule recorded in ROADMAP: a variant earns its flag by beating the
-default (t_cull) by >10% on EITHER scene; otherwise it is pruned.
+The benchmark itself remains as the dense/sparse A/B harness for any future
+variant; today's variant set is the default march vs the over-relaxation
+semantic trade.
 
 Run: python benchmarks/optin_benchmark.py
 """
@@ -44,9 +48,7 @@ def main():
     }
     variants = [
         ("t_cull (default)", dict(t_cull=True)),
-        ("t_cull + p_cull", dict(t_cull=True, p_cull=True)),
-        ("clusters", dict(t_cull=True, clusters=True)),
-        ("cond_group=8", dict(t_cull=True, cond_group=8)),
+        ("omega=1.4 (semantic trade)", dict(t_cull=True, omega=1.4)),
     ]
 
     with tpu_lock():

@@ -1,7 +1,7 @@
 """Quick hardware A/B harness for megakernel variants.
 
 Usage: python benchmarks/variants.py [variant ...]
-Each variant is a comma-separated kwarg list, e.g. "t_cull=True,p_cull=True".
+Each variant is a comma-separated kwarg list, e.g. "t_cull=True,omega=1.4".
 Prints one line per variant with honest D2H-synced frame times.
 """
 
@@ -42,7 +42,7 @@ def main():
     cs = compile_scene(benchmark_scene(N_PRIMS))
     variants = sys.argv[1:] or [
         "geometry=baked,t_cull=True",
-        "geometry=baked,t_cull=True,p_cull=True",
+        "geometry=baked,t_cull=True,omega=1.4",
     ]
     for v in variants:
         kw = parse(v)

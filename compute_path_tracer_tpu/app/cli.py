@@ -52,10 +52,6 @@ def cmd_render(args) -> int:
         from ..kernels import render_frame_pallas
 
         frame_fn = render_frame_pallas
-    elif args.backend == "wavefront":
-        from ..kernels import render_frame_wavefront
-
-        frame_fn = render_frame_wavefront
     sess = RenderSession(scene, args.width, args.height, settings, frame_fn=frame_fn)
 
     t0 = time.perf_counter()
@@ -203,7 +199,7 @@ def main(argv=None) -> int:
     r.add_argument("--debug", type=int, default=0, choices=(0, 1, 2, 3))
     r.add_argument("--fov", type=float, default=1.0)
     r.add_argument("--scale", type=float, default=1.0)
-    r.add_argument("--backend", default="xla", choices=("xla", "pallas", "wavefront"))
+    r.add_argument("--backend", default="xla", choices=("xla", "pallas"))
     r.add_argument("--out", default="image.png")
     r.add_argument("--tonemap", default="gamma", choices=("gamma", "aces"))
     r.add_argument("--checkpoint", default=None)

@@ -1,6 +1,7 @@
 """Pallas TPU kernels: the fused tile megakernel, the standalone
 differentiable march (forward kernel + implicit-gradient backward), and the
-compacting wavefront backend."""
+fused training-step kernel (train.py).  The experimental wavefront backend
+was quarantined to benchmarks/frozen_wavefront.py in round 3."""
 
 from .march import make_pallas_cast, march_pallas
 from .megakernel import (
@@ -8,7 +9,6 @@ from .megakernel import (
     render_accumulated_pallas,
     render_frame_pallas,
 )
-from .wavefront import render_frame_wavefront
 
 __all__ = [
     "DEFAULT_TILE",
@@ -16,5 +16,4 @@ __all__ = [
     "march_pallas",
     "render_accumulated_pallas",
     "render_frame_pallas",
-    "render_frame_wavefront",
 ]

@@ -38,12 +38,9 @@ from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
 from ..render.baked import (
     bake,
-    baked_box_offsets,
-    baked_clusters,
     make_bounds_baked,
     make_map_baked,
     make_map_baked_d,
-    make_map_baked_d_clustered,
 )
 from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
 from ..render.scenegen import (
@@ -132,53 +129,6 @@ def _interval_scalars(checks, tns, tfs):
     return tuple(out)
 
 
-def _gap_scalars(pv, box_offs, ro, alive):
-    """Per-bounce, per-shape scalar distance lower bounds for position-hull
-    culling.
-
-    Reduces the ALIVE lanes' segment-start positions (the bounce's ray
-    origins - a compact surface patch for a pixel tile) to an axis-aligned
-    hull ONCE per bounce, then measures the L-inf gap from that hull to each
-    shape's conservative enclosing world box (six SMEM scalars at
-    ``box_offs[shape_id]``).  Any live lane that has marched distance t from
-    its origin is therefore at least ``gap_i - t`` away from shape i's box -
-    the invariant :func:`_march_while_tcull` uses both to exclude the shape
-    from the map and to clamp step lengths so no lane can enter an
-    unevaluated box.  Unlike the per-STEP position-bbox reduction this costs
-    six masked reductions + O(shapes) scalar ops per BOUNCE, and activation
-    is monotone in the march front t_hi (a box activates tile-wide the moment
-    any lane could reach it), so clamped steps never crawl below p_margin.
-    """
-    if alive is None:
-        dead = jnp.zeros_like(ro.x, jnp.bool_)
-    else:
-        dead = ~alive
-    x_lo = jnp.min(jnp.where(dead, _BIG, ro.x))
-    x_hi = jnp.max(jnp.where(dead, -_BIG, ro.x))
-    y_lo = jnp.min(jnp.where(dead, _BIG, ro.y))
-    y_hi = jnp.max(jnp.where(dead, -_BIG, ro.y))
-    z_lo = jnp.min(jnp.where(dead, _BIG, ro.z))
-    z_hi = jnp.max(jnp.where(dead, -_BIG, ro.z))
-    zero = jnp.float32(0.0)
-    gaps = []
-    for o in box_offs:
-        if o is None:
-            gaps.append(None)
-            continue
-        gaps.append(
-            jnp.maximum(
-                jnp.maximum(
-                    jnp.maximum(pv[o] - x_hi, x_lo - pv[o + 3]),
-                    jnp.maximum(pv[o + 1] - y_hi, y_lo - pv[o + 4]),
-                ),
-                jnp.maximum(
-                    jnp.maximum(pv[o + 2] - z_hi, z_lo - pv[o + 5]), zero
-                ),
-            )
-        )
-    return tuple(gaps)
-
-
 def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
     """Recover the winning shape id with ONE full-map re-tap at the last
     marched position.
@@ -195,9 +145,8 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
 
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
-                       gaps=None, p_margin=0.05, with_stats=False,
-                       omega=1.0):
-    """Sphere march with PER-STEP t-interval + position-hull shape culling.
+                       with_stats=False, omega=1.0):
+    """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
     anywhere?"; this march additionally asks "...at the t-range the tile is
@@ -215,19 +164,6 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
       overshoot past a box ENTRY - not past a surface, which lies deeper);
     * passed   - box fully behind every live lane - excluded outright (a
       convex box's ray interval cannot be re-entered going forward).
-
-    POSITION-HULL culling (``gaps`` from :func:`_gap_scalars`, baked geometry
-    only): t-intervals are useless for secondary bounces - scattered
-    directions make every live shape's [tn, tf] overlap the tile front - but
-    the segment ORIGINS stay clustered (a tile's hit points are a small
-    surface patch).  Shape i is additionally excluded while
-    ``gap_i > t_hi + p_margin``: no lane that has marched at most t_hi from
-    the origin hull can be within p_margin of its box.  Excluded boxes clamp
-    the step via the same invariant (lane-to-box distance >= gap_i - t), and
-    because activation compares against the GROWING march front, a clamped
-    live lane always has gap - t > p_margin: steps toward an excluded box
-    never crawl below the margin, and the box activates tile-wide the moment
-    any lane could touch it.
 
     Divergence from the per-ray-guard reference semantics (test_compute.glsl
     :74-89 with the generated check[] guards): excluded shapes do not
@@ -271,18 +207,13 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
 
         active = []
         m = jnp.float32(_BIG)  # nearest pending t-interval entry
-        g = jnp.float32(_BIG)  # nearest hull-excluded box gap
-        for si, iv in enumerate(ivals):
+        for iv in ivals:
             if iv is None:
                 active.append(None)
                 continue
             any_h, tn_min, tf_max = iv
             not_reached = tn_min > t_hi
             act = any_h & ~not_reached & (tf_max >= t_lo)
-            if gaps is not None and gaps[si] is not None:
-                near = gaps[si] <= t_hi + p_margin
-                act = act & near
-                g = jnp.where(any_h & ~near, jnp.minimum(g, gaps[si]), g)
             active.append(act)
             m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
 
@@ -294,7 +225,7 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
         p = ro + rd * t
         d = map_d_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
-        clamp = jnp.maximum(jnp.minimum(m - t, g - t), MHD)
+        clamp = jnp.maximum(m - t, MHD)
         if not relax:
             step_len = jnp.minimum(ad, clamp)
             nt = jnp.where(done, t, t + step_len)
@@ -341,99 +272,7 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     return t, tp
 
 
-def _march_while_ccull(map_cl_d, ro, rd, pv, checks, ivals_u, c_ivals, c_hit,
-                       c_tn, c_sizes, alive=None, with_stats=False):
-    """Sphere march with CLUSTER-granular culling and per-lane entry clamps.
-
-    benchmarks/diagnose.py showed the march's cost is dominated by per-step
-    FIXED overhead - one lax.cond dispatch and one scalar predicate chain per
-    boxed shape per step - not by the shape math itself (mean tile-active
-    shapes is ~12 of 64).  This march cuts that fixed cost to O(clusters):
-
-    * per cluster (a contiguous run of <= CLUSTER_SIZE boxed siblings,
-      render/baked.py), ONE tile-uniform active scalar gates the whole run's
-      map block; members fold unconditionally under their per-lane check[]
-      guards inside the branch;
-    * the step clamp against unevaluated geometry is per-LANE: each lane
-      clamps at ITS OWN ray's entry into an inactive cluster's box
-      (``c_tn > t``), not at the tile-global nearest pending entry - with
-      only O(clusters) VMEM planes this is affordable and removes the
-      lockstep creep that burned the 80-step budget on tiles with many
-      staggered boxes;
-    * unclustered boxed shapes (scenes below CLUSTER_MIN, or runs broken by
-      unboxed siblings) keep the per-shape t-interval scalars (``ivals_u``)
-      and the tile-scalar pending clamp, exactly as _march_while_tcull.
-
-    Same correctness invariant as _march_while_tcull: a cluster is only
-    inactive while no live lane's t-front overlaps its box interval, and the
-    clamp keeps every lane out of inactive boxes, so excluded geometry can
-    never be marched through (the |d| < MHD eps caveat is shared).
-
-    Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
-    """
-    t0 = ro.x * 0.0
-    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
-
-    def cond(c):
-        step, _t, _tp, done_i, _act = c
-        return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
-
-    def body(c):
-        step, t, tp, done_i, actacc = c
-        done = done_i != 0
-        t_hi = jnp.max(jnp.where(done, -_BIG, t))
-        t_lo = jnp.min(jnp.where(done, _BIG, t))
-
-        m_lane = jnp.full_like(ro.x, _BIG)
-        cact = []
-        for ci, (any_h, tn_min, tf_max) in enumerate(c_ivals):
-            nr = tn_min > t_hi
-            a = any_h & ~nr & (tf_max >= t_lo)
-            cact.append(a)
-            pend = c_hit[ci] & (c_tn[ci] > t)
-            m_lane = jnp.where(
-                jnp.logical_and(~a, pend), jnp.minimum(m_lane, c_tn[ci]), m_lane
-            )
-
-        sact = []
-        m = jnp.float32(_BIG)
-        for iv in ivals_u:
-            if iv is None:
-                sact.append(None)
-                continue
-            any_h, tn_min, tf_max = iv
-            nr = tn_min > t_hi
-            sact.append(any_h & ~nr & (tf_max >= t_lo))
-            m = jnp.where(any_h & nr, jnp.minimum(m, tn_min), m)
-
-        if with_stats:
-            for a, size in zip(cact, c_sizes):
-                actacc = actacc + a.astype(jnp.float32) * float(size)
-            for a in sact:
-                if a is not None:
-                    actacc = actacc + a.astype(jnp.float32)
-
-        p = ro + rd * t
-        d = map_cl_d(p, pv, checks, tuple(sact), tuple(cact))
-        ad = jnp.abs(d)
-        step_len = jnp.minimum(
-            ad, jnp.maximum(jnp.minimum(m - t, m_lane - t), MHD)
-        )
-        nt = jnp.where(done, t, t + step_len)
-        ntp = jnp.where(done, tp, t)
-        ndone = done | (ad < MHD) | (nt > FP)
-        return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
-
-    steps, t, tp, _, actacc = lax.while_loop(
-        cond, body, (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
-    )
-    if with_stats:
-        return t, tp, steps, actacc
-    return t, tp
-
-
-def _march_while_ids(map_culled, ro, rd, pv, checks, ivals, gaps=None,
-                     p_margin=0.05):
+def _march_while_ids(map_culled, ro, rd, pv, checks, ivals):
     """Round-1-style march carrying the winning id per step (the exact
     cast_ray fold, reference.py:112-123), with the same per-step interval/
     gap activation as :func:`_march_while_tcull`.
@@ -460,25 +299,20 @@ def _march_while_ids(map_culled, ro, rd, pv, checks, ivals, gaps=None,
 
         active = []
         m = jnp.float32(_BIG)
-        g = jnp.float32(_BIG)
-        for si, iv in enumerate(ivals):
+        for iv in ivals:
             if iv is None:
                 active.append(None)
                 continue
             any_h, tn_min, tf_max = iv
             not_reached = tn_min > t_hi
             act = any_h & ~not_reached & (tf_max >= t_lo)
-            if gaps is not None and gaps[si] is not None:
-                near = gaps[si] <= t_hi + p_margin
-                act = act & near
-                g = jnp.where(any_h & ~near, jnp.minimum(g, gaps[si]), g)
             active.append(act)
             m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
 
         p = ro + rd * t
         d, mi = map_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
-        step_len = jnp.minimum(ad, jnp.maximum(jnp.minimum(m - t, g - t), MHD))
+        step_len = jnp.minimum(ad, jnp.maximum(m - t, MHD))
         nt = jnp.where(done, t, t + step_len)
         nidx = jnp.where(done, idx, mi)
         far = nt > FP
@@ -523,8 +357,7 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                      pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
-                     box_offs=None, stats=False, cluster_info=None,
-                     omega=1.0):
+                     stats=False, omega=1.0):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -568,42 +401,14 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
         checks = tuple(None if c_ is None else c_ & alive for c_ in checks)
         anyhit = _anyhit(checks)
 
-        if cluster_info is not None:
-            cboxes, shape_cluster, c_sizes, map_cl_d = cluster_info
-            # Per-shape interval scalars only for UNCLUSTERED boxed shapes.
-            ivals_u = _interval_scalars(
-                tuple(
-                    c_ if shape_cluster[si] is None else None
-                    for si, c_ in enumerate(checks)
-                ),
-                tns, tfs,
-            )
-            # Per-lane cluster slab tests (O(clusters) planes per bounce).
-            c_hit, c_tn, c_ivals = [], [], []
-            for o in cboxes:
-                lo = Vec3(pv[o], pv[o + 1], pv[o + 2])
-                hi = Vec3(pv[o + 3], pv[o + 4], pv[o + 5])
-                tn, tf = intersect_aabb(ro, rd, lo, hi)
-                hit = aabb_hit(tn, tf) & alive
-                any_h = jnp.max(hit.astype(jnp.int32)) > 0
-                tn_min = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), _BIG))
-                tf_max = jnp.max(jnp.where(hit, tf, -_BIG))
-                c_hit.append(hit)
-                c_tn.append(tn)
-                c_ivals.append((any_h, tn_min, tf_max))
-            c_anyhit = tuple(iv[0] for iv in c_ivals)
-            sact_bounce = tuple(
-                a if (a is not None and shape_cluster[si] is None) else None
-                for si, a in enumerate(anyhit)
-            )
+        def map_fn(p, pv_, checks_):
+            return map_d_culled(p, pv_, checks_, anyhit), None
 
-            def map_fn(p, pv_, checks_):
-                return map_cl_d(p, pv_, checks_, sact_bounce, c_anyhit), None
-
-            out = _march_while_ccull(
-                map_cl_d, ro, rd, pv, checks, ivals_u, c_ivals, c_hit, c_tn,
-                c_sizes, alive=alive, with_stats=stats,
-            )
+        if t_cull:
+            ivals = _interval_scalars(checks, tns, tfs)
+            out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
+                                     ivals, alive=alive,
+                                     with_stats=stats, omega=omega)
             if stats:
                 t, tp, msteps, mact = out
                 steps_tot = steps_tot + msteps.astype(jnp.float32)
@@ -611,25 +416,8 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
             else:
                 t, tp = out
         else:
-            def map_fn(p, pv_, checks_):
-                return map_d_culled(p, pv_, checks_, anyhit), None
-
-            if t_cull:
-                ivals = _interval_scalars(checks, tns, tfs)
-                gaps = (_gap_scalars(pv, box_offs, ro, alive)
-                        if box_offs is not None else None)
-                out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
-                                         ivals, alive=alive, gaps=gaps,
-                                         with_stats=stats, omega=omega)
-                if stats:
-                    t, tp, msteps, mact = out
-                    steps_tot = steps_tot + msteps.astype(jnp.float32)
-                    act_tot = act_tot + mact
-                else:
-                    t, tp = out
-            else:
-                t, tp = _march_while(map_d_culled, ro, rd, pv, checks,
-                                     anyhit, alive=alive)
+            t, tp = _march_while(map_d_culled, ro, rd, pv, checks,
+                                 anyhit, alive=alive)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
@@ -637,7 +425,7 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
         any_act = jnp.max(act.astype(jnp.int32)) > 0
         hit_pos = ro + rd * t
 
-        if t_cull and cluster_info is None:
+        if t_cull:
             # HIT-FRONT actives for the aux taps (6 normal taps + final-id
             # re-tap): restrict to shapes whose box interval overlaps the
             # live hit t-range instead of the whole-ray anyhit set - the aux
@@ -664,13 +452,7 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
 
         if stats:
             n_aux = jnp.float32(0.0)
-            if cluster_info is not None:
-                for a, size in zip(c_anyhit, c_sizes):
-                    n_aux = n_aux + a.astype(jnp.float32) * float(size)
-                aux_set = sact_bounce
-            else:
-                aux_set = aux_anyhit
-            for a in aux_set:
+            for a in aux_anyhit:
                 n_aux = n_aux + (
                     jnp.float32(1.0) if a is None else a.astype(jnp.float32)
                 )
@@ -730,49 +512,29 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
 
 
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
-                 tile_h: int, tile_w: int, sub_rows: int,
+                 tile_h: int, tile_w: int,
                  geometry: str = "faithful", normals: str = "central",
-                 t_cull: bool = False, p_cull: bool = False,
-                 clusters: bool = False, cond_group: int = 1,
-                 omega: float = 1.0):
-    """Kernel body: one VMEM tile, processed as ``tile_h / sub_rows``
-    independent (sub_rows, tile_w) subtiles via an in-kernel fori_loop.
-
-    The subtile loop decouples culling/early-exit granularity from program
-    granularity: per-program overhead is amortized over the whole tile while
-    the AABB anyhit predicates, the march's all-done exit and the bounce
-    loop's all-dead exit are evaluated per subtile (a ~1%-of-screen strip),
-    where they are far sharper.  The loop is a fori (not unrolled) so the
-    scene code is traced once regardless of subtile count.
+                 t_cull: bool = False, omega: float = 1.0):
+    """Kernel body: one VMEM tile.
 
     ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
     vector, render/baked.py) instead of re-deriving every transform chain per
     map tap; ``normals="autodiff"`` swaps the 6-tap central difference for
-    reverse-mode AD of the map (~2 taps).
+    reverse-mode AD of the map (~2 taps).  The round-2 opt-in culling
+    variants (position-hull ``p_cull``, ``clusters``, ``cond_group``,
+    ``sub_rows`` subtiling) were pruned in round 3 after losing on BOTH the
+    dense and the sparse benchmark scenes (benchmarks/optin_benchmark.py,
+    artifact optin_r03.jsonl; decision rule in ROADMAP).
     """
     baked = geometry == "baked"
     if baked:
         map_culled = make_map_baked(spec)
-        map_d_culled = make_map_baked_d(spec, group=cond_group)
+        map_d_culled = make_map_baked_d(spec)
         bounds_fn = make_bounds_baked(spec, with_t=t_cull)
     else:
         map_culled = make_map_culled(spec)
         map_d_culled = make_map_culled_d(spec)
         bounds_fn = make_bounds(spec, with_t=t_cull)
-    if p_cull and not (baked and t_cull):
-        raise ValueError("p_cull requires geometry='baked' and t_cull=True")
-    box_offs = baked_box_offsets(spec) if p_cull else None
-    cluster_info = None
-    if clusters and baked and t_cull and not p_cull:
-        cboxes, shape_cluster = baked_clusters(spec)
-        if cboxes:
-            c_sizes = tuple(
-                sum(1 for s in shape_cluster if s == ci)
-                for ci in range(len(cboxes))
-            )
-            cluster_info = (
-                cboxes, shape_cluster, c_sizes, make_map_baked_d_clustered(spec)
-            )
     if normals == "autodiff":
         # Mosaic cannot yet compile the transpose of the anyhit lax.cond
         # skips, so the (~2-tap) AD normal differentiates the PLAIN per-lane
@@ -786,9 +548,6 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
             return calc_normal_autodiff(plain, p, pv, checks)
     else:
         normal_fn = calc_normal
-    if tile_h % sub_rows:
-        raise ValueError("tile_h must be a multiple of sub_rows")
-    n_sub = tile_h // sub_rows
 
     def kernel(iparams_ref, fparams_ref, params_ref, *rest):
         if baked:
@@ -811,10 +570,9 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         x0 = pl.program_id(1) * tile_w
         gather_mat = _make_smem_gather_mat(spec, params_ref)
 
-        def sub_body(st, carry):
-            row = st * sub_rows
-            xs = x0 + lax.broadcasted_iota(jnp.int32, (sub_rows, tile_w), 1)
-            ys = y0 + row + lax.broadcasted_iota(jnp.int32, (sub_rows, tile_w), 0)
+        if True:
+            xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
 
             # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
             rng = gen_rng(xs, ys, frame, width, height)
@@ -833,8 +591,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 col, i_exit = _path_trace_tile(
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
-                    normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
-                    cluster_info=cluster_info, omega=omega,
+                    normal_fn=normal_fn, t_cull=t_cull, omega=omega,
                 )
                 if debug == 3:
                     col = Vec3.splat(
@@ -848,10 +605,9 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 _col, i_exit, steps_tot, act_tot, aux_tot = _path_trace_tile(
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
-                    normal_fn=normal_fn, t_cull=t_cull, box_offs=box_offs,
-                    stats=True, cluster_info=cluster_info,
+                    normal_fn=normal_fn, t_cull=t_cull, stats=True,
                 )
-                zero2 = jnp.zeros((sub_rows, tile_w), jnp.float32)
+                zero2 = jnp.zeros((tile_h, tile_w), jnp.float32)
                 col = Vec3(
                     zero2 + steps_tot,
                     zero2 + act_tot,
@@ -871,8 +627,6 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 if t_cull:
                     checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
                     ivals = _interval_scalars(checks, tns, tfs)
-                    gaps = (_gap_scalars(pv, box_offs, ro, None)
-                            if box_offs is not None else None)
                 else:
                     checks, dbg = bounds_fn(ro, rd, pv)
                     zero_s = jnp.float32(0.0)
@@ -881,14 +635,13 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                         None if a is None else (a, zero_s, big_s)
                         for a in _anyhit(checks)
                     )
-                    gaps = None
                 anyhit = _anyhit(checks)
 
                 def map_fn(p, pv_, checks_):
                     return map_culled(p, pv_, checks_, anyhit)
 
                 t, idx = _march_while_ids(map_culled, ro, rd, pv, checks,
-                                          ivals, gaps=gaps)
+                                          ivals)
                 if debug == 1:
                     # normals + AABB tint (test_compute.glsl:170-179)
                     n = normal_fn(map_fn, ro + rd * t, pv, checks)
@@ -898,22 +651,18 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     # first-hit albedo (test_compute.glsl:183-195)
                     col = gather_mat(idx).col
             else:
-                col = Vec3.splat(jnp.zeros((sub_rows, tile_w), jnp.float32))
+                col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
 
-            rows = pl.ds(row, sub_rows)
             if debug != 0:
-                out_ref[0, rows, :] = col.x
-                out_ref[1, rows, :] = col.y
-                out_ref[2, rows, :] = col.z
+                out_ref[0] = col.x
+                out_ref[1] = col.y
+                out_ref[2] = col.z
             else:
                 # Progressive running mean (test_compute.glsl:242-245).
                 w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
-                out_ref[0, rows, :] = accum_ref[0, rows, :] * (1.0 - w) + col.x * w
-                out_ref[1, rows, :] = accum_ref[1, rows, :] * (1.0 - w) + col.y * w
-                out_ref[2, rows, :] = accum_ref[2, rows, :] * (1.0 - w) + col.z * w
-            return carry
-
-        lax.fori_loop(0, n_sub, sub_body, 0)
+                out_ref[0] = accum_ref[0] * (1.0 - w) + col.x * w
+                out_ref[1] = accum_ref[1] * (1.0 - w) + col.y * w
+                out_ref[2] = accum_ref[2] * (1.0 - w) + col.z * w
 
     return kernel
 
@@ -921,9 +670,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
 @partial(
     jax.jit,
     static_argnames=(
-        "spec", "width", "height", "debug", "tile_h", "tile_w", "sub_rows",
-        "geometry", "normals", "t_cull", "p_cull", "clusters", "cond_group",
-        "omega", "interpret",
+        "spec", "width", "height", "debug", "tile_h", "tile_w",
+        "geometry", "normals", "t_cull", "omega", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -942,19 +690,13 @@ def _pallas_frame_planes(
     debug: int,
     tile_h: int,
     tile_w: int,
-    sub_rows: int = None,
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
-    p_cull: bool = False,
-    clusters: bool = False,
-    cond_group: int = 1,
     omega: float = 1.0,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
-    if sub_rows is None:
-        sub_rows = tile_h
     grid = (ph // tile_h, pw // tile_w)
     iparams = jnp.stack(
         [
@@ -968,9 +710,8 @@ def _pallas_frame_planes(
         [jnp.asarray(fov, jnp.float32), jnp.asarray(aspect, jnp.float32)]
     )
 
-    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w, sub_rows,
-                          geometry, normals, t_cull, p_cull, clusters,
-                          cond_group, omega)
+    kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w,
+                          geometry, normals, t_cull, omega)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -1018,31 +759,21 @@ def render_frame_pallas(
     fov: float = DEFAULT_FOV,
     aspect: float = None,
     tile: tuple = DEFAULT_TILE,
-    sub_rows: int = None,
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
-    p_cull: bool = False,
-    clusters: bool = False,
-    cond_group: int = 1,
     omega: float = 1.0,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
     Pallas megakernel.  Same (H, W, 3) accumulator interface; the image is
     padded up to tile multiples internally and cropped on return.
-
-    ``sub_rows`` subdivides each tile into (sub_rows, tile_w) subtiles for
-    sharper culling/early-exit granularity; measured SLOWER on v5e (narrow
-    vector work starves the VPU pipeline), so the default is one monolithic
-    subtile per tile.
     """
     if aspect is None:
         aspect = width / height
     th, tw = tile
     th = min(th, -(-height // 8) * 8) if height < th else th
     tw = min(tw, max(128, tw)) if width < tw else tw
-    sub = th if sub_rows is None else min(sub_rows, th)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
     planes = _pad_to(jnp.transpose(jnp.asarray(accum, jnp.float32), (2, 0, 1)), th, tw)
@@ -1060,13 +791,9 @@ def render_frame_pallas(
         debug=debug,
         tile_h=th,
         tile_w=tw,
-        sub_rows=sub,
         geometry=geometry,
         normals=normals,
         t_cull=t_cull,
-        p_cull=p_cull,
-        clusters=clusters,
-        cond_group=cond_group,
         omega=omega,
         interpret=interpret,
     )
@@ -1076,14 +803,12 @@ def render_frame_pallas(
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w",
-                     "geometry", "normals", "t_cull", "p_cull", "clusters",
-                     "interpret"),
+                     "geometry", "normals", "t_cull", "interpret"),
 )
 def _accumulate_pallas_impl(
     spec, params, bounces, fov, aspect,
     *, width, height, n_frames, tile_h, tile_w,
-    geometry="faithful", normals="central", t_cull=False, p_cull=False,
-    clusters=False, interpret=False,
+    geometry="faithful", normals="central", t_cull=False, interpret=False,
 ):
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -1094,8 +819,8 @@ def _accumulate_pallas_impl(
             spec, params, accum, f, f, bounces, fov, aspect,
             width=width, height=height, debug=0,
             tile_h=tile_h, tile_w=tile_w,
-            geometry=geometry, normals=normals, t_cull=t_cull, p_cull=p_cull,
-            clusters=clusters, interpret=interpret,
+            geometry=geometry, normals=normals, t_cull=t_cull,
+            interpret=interpret,
         )
 
     out = lax.fori_loop(0, n_frames, body, accum0)
@@ -1116,8 +841,6 @@ def render_accumulated_pallas(
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
-    p_cull: bool = False,
-    clusters: bool = False,
     interpret: bool = False,
 ):
     """Fused multi-frame progressive accumulation: the accumulator stays
@@ -1139,7 +862,5 @@ def render_accumulated_pallas(
         geometry=geometry,
         normals=normals,
         t_cull=t_cull,
-        p_cull=p_cull,
-        clusters=clusters,
         interpret=interpret,
     )

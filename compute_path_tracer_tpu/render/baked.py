@@ -110,25 +110,7 @@ class BakedShape:
     shape_id: int
     off: int           # geometry slots
     aabb_off: int      # 6 box slots, or -1 when the guard is `if (true)`
-    cull_off: int      # 6 slots: CONSERVATIVE enclosing world box, or -1
     aabb: bool
-
-
-@dataclass(frozen=True)
-class BakedCluster:
-    """A contiguous run of boxed sibling shapes sharing one enclosing box.
-
-    Clusters exist purely for march-time culling granularity (the megakernel
-    tests 1 cluster box instead of ~8 leaf boxes per step); they never change
-    the CSG fold - members stay consecutive in their union's child order, so
-    gating a whole run behind one tile-uniform predicate is exactly the same
-    skip the per-leaf predicates would have produced."""
-
-    index: int                      # global cluster index (walk order)
-    box_off: int                    # 6 bv slots: union of member cull boxes
-    shape_ids: Tuple[int, ...]      # member shape ids (consecutive siblings)
-    cull_offs: Tuple[int, ...]      # members' cull_off slots (box source)
-    child_span: Tuple[int, int]     # [start, end) in the union's child order
 
 
 @dataclass(frozen=True)
@@ -139,7 +121,6 @@ class BakedUnion:
     k_off: int         # world-scaled smooth-min k, or -1
     children_unions: Tuple["BakedUnion", ...]
     children_shapes: Tuple[BakedShape, ...]
-    clusters: Tuple[BakedCluster, ...]
 
 
 @dataclass(frozen=True)
@@ -151,18 +132,11 @@ class BakedLayout:
 
 _GEOM_SLOTS = {KIND_SPHERE: 4, KIND_CUBE: 15, KIND_PLANE: 4, KIND_OCTAHEDRON: 13}
 
-# Cluster shaping: a union's boxed children are grouped into contiguous runs
-# of <= CLUSTER_SIZE, but only when the union has >= CLUSTER_MIN of them -
-# below that, per-leaf culling granularity is already as sharp as it gets.
-CLUSTER_SIZE = 8
-CLUSTER_MIN = 12
-
 
 @lru_cache(maxsize=None)
 def baked_layout(spec: SceneSpec) -> BakedLayout:
     """Assign bv slot offsets in a deterministic walk (mirrored by bake)."""
     counter = [1]  # slot 0 is a sentinel, mirroring the reference DataArray
-    cluster_counter = [0]
 
     def take(n):
         off = counter[0]
@@ -172,44 +146,10 @@ def baked_layout(spec: SceneSpec) -> BakedLayout:
     def walk_shape(ss: ShapeSpec) -> BakedShape:
         off = take(_GEOM_SLOTS[ss.kind])
         aabb_off = take(6) if ss.transform.aabb else -1
-        cull_off = (
-            take(6) if ss.transform.aabb and ss.kind != KIND_PLANE else -1
-        )
         return BakedShape(
             kind=ss.kind, shape_id=ss.shape_id, off=off,
-            aabb_off=aabb_off, cull_off=cull_off, aabb=ss.transform.aabb,
+            aabb_off=aabb_off, aabb=ss.transform.aabb,
         )
-
-    def make_clusters(cs: Tuple[BakedShape, ...]) -> Tuple[BakedCluster, ...]:
-        boxed = [bs for bs in cs if bs.cull_off >= 0]
-        if len(boxed) < CLUSTER_MIN:
-            return ()
-        clusters = []
-        run: list = []
-
-        def flush(end):
-            if run:
-                clusters.append(
-                    BakedCluster(
-                        index=cluster_counter[0],
-                        box_off=take(6),
-                        shape_ids=tuple(bs.shape_id for bs in run),
-                        cull_offs=tuple(bs.cull_off for bs in run),
-                        child_span=(end - len(run), end),
-                    )
-                )
-                cluster_counter[0] += 1
-                run.clear()
-
-        for ci, bs in enumerate(cs):
-            if bs.cull_off < 0:
-                flush(ci)  # unboxed shape breaks the contiguous run
-                continue
-            run.append(bs)
-            if len(run) == CLUSTER_SIZE:
-                flush(ci + 1)
-        flush(len(cs))
-        return tuple(clusters)
 
     def walk_union(us: UnionSpec) -> BakedUnion:
         init_off = take(1)
@@ -219,7 +159,7 @@ def baked_layout(spec: SceneSpec) -> BakedLayout:
         cs = tuple(walk_shape(child) for child in us.children_shapes)
         return BakedUnion(
             op=us.op, init_off=init_off, empty_off=empty_off, k_off=k_off,
-            children_unions=cu, children_shapes=cs, clusters=make_clusters(cs),
+            children_unions=cu, children_shapes=cs,
         )
 
     roots = tuple(walk_union(r) for r in spec.roots)
@@ -273,33 +213,6 @@ def bake(spec: SceneSpec, pv) -> jnp.ndarray:
             emit(bs.off, (*Mw, *bw, pv[ss.size[0]] * Sf))
         else:
             raise ValueError(f"unknown shape kind {ss.kind}")
-        if bs.cull_off >= 0:
-            # Conservative ENCLOSING world box for march-step culling.  The
-            # reference-faithful trail box below ignores rotation (the shape
-            # can protrude), so it must never be used to clamp march steps -
-            # only for the per-lane check[] semantics.  The true shape is the
-            # image of the local box [-h, h] under the inverse of q = Mw p +
-            # bw with Mw orthogonal (uniform scales): center -Mw^T bw,
-            # half-extent_i = sum_j |Mw[j,i]| h_j.
-            cc = tuple(-e for e in _mat_t_vec(Mw, bw))
-            if ss.kind == KIND_SPHERE:
-                # Rotation-invariant: the exact box is center +- world radius.
-                rw = pv[ss.size[0]] * Sf
-                he = (rw, rw, rw)
-            else:
-                if ss.kind == KIND_CUBE:
-                    hloc = (pv[ss.size[0]] * Sf, pv[ss.size[1]] * Sf,
-                            pv[ss.size[2]] * Sf)
-                else:  # octahedron: {|x|+|y|+|z| <= s} fits in [-s, s]^3
-                    hloc = (pv[ss.size[0]] * Sf,) * 3
-                he = tuple(
-                    abs(Mw[3 * 0 + i]) * hloc[0]
-                    + abs(Mw[3 * 1 + i]) * hloc[1]
-                    + abs(Mw[3 * 2 + i]) * hloc[2]
-                    for i in range(3)
-                )
-            emit(bs.cull_off, (cc[0] - he[0], cc[1] - he[1], cc[2] - he[2],
-                               cc[0] + he[0], cc[1] + he[1], cc[2] + he[2]))
         if bs.aabb:
             # Reference AABB trails: positions summed unrotated, scales
             # multiplied (containers.rs:181-202, data_structures.rs:68-92).
@@ -338,15 +251,6 @@ def bake(spec: SceneSpec, pv) -> jnp.ndarray:
         for bcu in bu.children_unions:
             acc = _combine_scalar(bu.op, acc, vals[bcu.empty_off], k)
         emit(bu.empty_off, (acc,))
-        # Cluster boxes: elementwise union of the members' cull boxes (which
-        # this walk has just emitted above).
-        for cl in bu.clusters:
-            lo = [vals[cl.cull_offs[0] + a] for a in range(3)]
-            hi = [vals[cl.cull_offs[0] + 3 + a] for a in range(3)]
-            for co in cl.cull_offs[1:]:
-                lo = [jnp.minimum(lo[a], vals[co + a]) for a in range(3)]
-                hi = [jnp.maximum(hi[a], vals[co + 3 + a]) for a in range(3)]
-            emit(cl.box_off, (*lo, *hi))
 
     zero = jnp.float32(0.0)
     one = jnp.float32(1.0)
@@ -515,7 +419,7 @@ def _guarded_runs(children, anyhit, group):
         i = j
 
 
-def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
+def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
     """Distance-only fold of :func:`_eval_union` - no winning-id selects.
 
     The march only needs the scene distance per tap; the winning shape id is
@@ -537,10 +441,10 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
         acc_d = p.x * 0.0 + bv[bu.init_off]
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
-            cd = _eval_union_d(cu, p, bv, checks, anyhit, group)
+            cd = _eval_union_d(cu, p, bv, checks, anyhit)
             acc_d = _combine_scalar(bu.op, acc_d, cd, k)
         cs = bu.children_shapes
-        for start, run in _guarded_runs(cs, anyhit, group):
+        for start, run in _guarded_runs(cs, anyhit, 1):
             guarded = (
                 run[0].aabb and anyhit is not None
                 and anyhit[run[0].shape_id] is not None
@@ -584,17 +488,16 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit, group: int = 1):
     return jax.lax.cond(pred, evaluate, skip, None)
 
 
-def make_map_baked_d(spec: SceneSpec, group: int = 1):
+def make_map_baked_d(spec: SceneSpec):
     """Distance-only ``map(p, bv, checks, anyhit=None) -> d`` over baked
     geometry: identical distances to :func:`make_map_baked` with every
-    winning-id int32 select removed (march + normal taps don't need ids).
-    ``group``: see :func:`_eval_union_d`."""
+    winning-id int32 select removed (march + normal taps don't need ids)."""
     layout = baked_layout(spec)
 
     def map_fn(p: Vec3, bv, checks, anyhit=None):
         d = jnp.full_like(p.x, MAX_DIST)
         for broot in layout.roots:
-            d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit, group))
+            d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit))
         return d
 
     return map_fn
@@ -616,29 +519,6 @@ def make_map_baked(spec: SceneSpec):
         return d, i
 
     return map_fn
-
-
-def baked_box_offsets(spec: SceneSpec):
-    """Static per-shape-id bv offsets of the CONSERVATIVE enclosing world
-    boxes (None for shapes whose guard is `if (true)` or with no finite
-    enclosing box).  The megakernel's position-bbox march cull reads the 6
-    box scalars straight from SMEM at these offsets.  These are NOT the
-    reference-faithful trail boxes (those ignore rotation and the shape can
-    protrude through them - unsafe as a step clamp); they are the baked
-    ``cull_off`` boxes, guaranteed to contain the shape's surface."""
-    layout = baked_layout(spec)
-    offs: list = [None] * layout.n_shapes
-
-    def walk(bu: BakedUnion):
-        for cu in bu.children_unions:
-            walk(cu)
-        for bs in bu.children_shapes:
-            if bs.cull_off >= 0:
-                offs[bs.shape_id] = bs.cull_off
-
-    for broot in layout.roots:
-        walk(broot)
-    return tuple(offs)
 
 
 GEOM_CHANNELS = max(_GEOM_SLOTS.values())  # widest leaf slot count (cube: 15)
@@ -702,139 +582,6 @@ def leaf_distance_from_planes(kind: int, p: Vec3, sl):
     if kind == KIND_CUBE:
         return sd_cube(q, Vec3(sl[12], sl[13], sl[14]))
     return sd_octahedron(q, sl[12])
-
-
-def _union_pred_cl(bu: BakedUnion, sact, cact, shape_cluster):
-    """Tile-level skip predicate for a union in the clustered map: OR of its
-    descendant clusters' actives, unclustered boxed shapes' actives, and True
-    for any always-evaluated shape."""
-    terms = []
-    seen_clusters = set()
-    for cu in bu.children_unions:
-        t = _union_pred_cl(cu, sact, cact, shape_cluster)
-        if t is True:
-            return True
-        if t is not False:
-            terms.append(t)
-    for bs in bu.children_shapes:
-        ci = shape_cluster[bs.shape_id]
-        if ci is not None:
-            if ci not in seen_clusters:
-                seen_clusters.add(ci)
-                terms.append(cact[ci])
-        elif bs.aabb and sact[bs.shape_id] is not None:
-            terms.append(sact[bs.shape_id])
-        else:
-            return True
-    if not terms:
-        return False
-    pred = terms[0]
-    for t in terms[1:]:
-        pred = jnp.logical_or(pred, t)
-    return pred
-
-
-def _eval_union_d_cl(bu: BakedUnion, p, bv, checks, sact, cact, shape_cluster):
-    """Distance-only union fold with CLUSTER-granular lax.cond skipping.
-
-    One branch per contiguous run of boxed siblings (BakedCluster) instead of
-    one per shape: inside an active cluster's branch the members fold
-    unconditionally under their per-lane ``checks`` guards, so the per-step
-    branch-dispatch cost drops from O(shapes) to O(clusters) - the dominant
-    fixed cost of the march measured in benchmarks/diagnose.py.  Fold order
-    and guard semantics are exactly those of :func:`_eval_union_d`: a skipped
-    cluster leaves the accumulator untouched, which is bit-identical to every
-    member's per-lane guard masking every lane (the cluster is only inactive
-    when that holds... up to the documented t-front eps caveat)."""
-    span_start = {cl.child_span[0]: cl for cl in bu.clusters}
-
-    def evaluate(_):
-        acc_d = p.x * 0.0 + bv[bu.init_off]
-        k = bv[bu.k_off] if bu.k_off >= 0 else None
-        for cu in bu.children_unions:
-            cd = _eval_union_d_cl(cu, p, bv, checks, sact, cact, shape_cluster)
-            acc_d = _combine_scalar(bu.op, acc_d, cd, k)
-        cs = bu.children_shapes
-        si = 0
-        while si < len(cs):
-            cl = span_start.get(si)
-            if cl is not None:
-                a, b = cl.child_span
-
-                def do(acc, a=a, b=b, k=k):
-                    for j in range(a, b):
-                        acc = _eval_shape_d(cs[j], p, bv, checks, acc, bu.op, k, j)
-                    return acc
-
-                acc_d = jax.lax.cond(cact[cl.index], do, lambda x: x, acc_d)
-                si = b
-                continue
-            bs = cs[si]
-            if bs.aabb and sact[bs.shape_id] is not None:
-                def do1(acc, bs=bs, si=si, k=k):
-                    return _eval_shape_d(bs, p, bv, checks, acc, bu.op, k, si)
-
-                acc_d = jax.lax.cond(sact[bs.shape_id], do1, lambda x: x, acc_d)
-            else:
-                acc_d = _eval_shape_d(bs, p, bv, checks, acc_d, bu.op, k, si)
-            si += 1
-        return acc_d
-
-    def skip(_):
-        return p.x * 0.0 + bv[bu.empty_off]
-
-    pred = _union_pred_cl(bu, sact, cact, shape_cluster)
-    if pred is True:
-        return evaluate(None)
-    if pred is False:
-        return skip(None)
-    return jax.lax.cond(pred, evaluate, skip, None)
-
-
-def make_map_baked_d_clustered(spec: SceneSpec):
-    """Distance-only baked map with cluster-granular skipping:
-    ``map(p, bv, checks, sact, cact) -> d`` where ``cact`` holds one
-    tile-uniform active scalar per cluster (baked_clusters order) and
-    ``sact`` one per UNCLUSTERED boxed shape id (None entries elsewhere)."""
-    layout = baked_layout(spec)
-    _, shape_cluster = baked_clusters(spec)
-
-    def map_fn(p: Vec3, bv, checks, sact, cact):
-        d = jnp.full_like(p.x, MAX_DIST)
-        for broot in layout.roots:
-            d = jnp.minimum(
-                d, _eval_union_d_cl(broot, p, bv, checks, sact, cact, shape_cluster)
-            )
-        return d
-
-    return map_fn
-
-
-def baked_clusters(spec: SceneSpec):
-    """Static cluster table for march-time culling.
-
-    Returns ``(boxes, shape_cluster)``: ``boxes`` is a tuple of per-cluster
-    bv box offsets (6 slots each), ``shape_cluster`` maps shape id -> cluster
-    index (or None for unclustered shapes, which cull at leaf granularity
-    only)."""
-    layout = baked_layout(spec)
-    found: list = []
-    shape_cluster: list = [None] * layout.n_shapes
-
-    def walk(bu: BakedUnion):
-        for cu in bu.children_unions:
-            walk(cu)
-        for cl in bu.clusters:
-            found.append(cl)
-            for sid in cl.shape_ids:
-                shape_cluster[sid] = cl.index
-
-    for broot in layout.roots:
-        walk(broot)
-    boxes = [None] * len(found)
-    for cl in found:
-        boxes[cl.index] = cl.box_off
-    return tuple(boxes), tuple(shape_cluster)
 
 
 def make_bounds_baked(spec: SceneSpec, with_t: bool = False):

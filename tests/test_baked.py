@@ -177,31 +177,3 @@ def test_tcull_march_matches_plain():
     b = render_frame_pallas(cs.spec, pv, t_cull=True, **kw)
     d = np.abs(np.asarray(a) - np.asarray(b))
     assert float((d.max(axis=2) > 1e-2).mean()) < 0.01
-
-
-def test_pcull_march_matches_tcull():
-    """Position-bbox culling (megakernel.py:_march_while_tcull box_offs path)
-    excludes shapes using a lower bound on every live lane's distance to the
-    shape's world box, so it may only differ from the t-cull march at the
-    same eps-level box-boundary edge cases; on a full path trace the images
-    must agree except at a <1% pixel fraction."""
-    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
-    from compute_path_tracer_tpu.scene import benchmark_scene
-
-    cs = compile_scene(benchmark_scene(16))
-    pv = jnp.asarray(cs.params)
-    kw = dict(width=96, height=64, bounces=4, debug=0, frame=3, last_clear=0,
-              geometry="baked", t_cull=True, interpret=True, tile=(32, 128))
-    a = render_frame_pallas(cs.spec, pv, **kw)
-    b = render_frame_pallas(cs.spec, pv, p_cull=True, **kw)
-    d = np.abs(np.asarray(a) - np.asarray(b))
-    assert float((d.max(axis=2) > 1e-2).mean()) < 0.01
-
-
-def test_pcull_requires_baked_tcull():
-    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
-
-    cs = compile_scene(csg_demo())
-    with np.testing.assert_raises(ValueError):
-        render_frame_pallas(cs.spec, jnp.asarray(cs.params), width=32, height=32,
-                            p_cull=True, interpret=True)
