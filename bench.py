@@ -5,16 +5,18 @@ the 64-primitive CSG benchmark scene with the reference's default 8-bounce
 budget - the north-star configuration from BASELINE.json.  Prints one JSON
 line per metric:
 
-  line 1: fwd+bwd training step (value_and_grad of an MSE loss) with the
-          march running on-chip in BOTH directions via the implicit-gradient
-          custom_vjp (kernels/march.py);
-  line 2 (LAST - the headline the driver records): forward render (Pallas
+  fwd+bwd training step, three configurations: the faithful XLA reverse
+          sweep with the on-chip march (kernels/march.py), the in-kernel
+          detached-normals variant, and the FUSED kernel (kernels/train.py:
+          forward + per-pixel backward in one Pallas kernel - the fast
+          training configuration, 6.9x the XLA sweep in round 3);
+  LAST (the headline the driver records): forward render (Pallas
           megakernel, baked geometry, t-interval culling), with MEASURED
           roofline accounting - executed shape-evaluations from the
           kernel's stats mode (debug=4), the achieved f32 Tflop/s they
-          imply, and utilization against the nominal VPU peak
-          (app/profiling.py) - so scheduling losses are separable from
-          algorithmic ones.
+          imply, and utilization against BOTH the nominal VPU peak and the
+          measured attainable rate (app/profiling.py, vpu_peak artifact) -
+          so scheduling losses are separable from algorithmic ones.
 
 vs_baseline is value / 1e9 (the reference publishes no numbers; 1e9 rays/s
 per chip is the BASELINE.json target).

@@ -47,12 +47,15 @@ PSUM_LATENCY_US = 5.0
 
 
 def _timed(fn, *args, **kw):
+    def sync(o):
+        np.asarray(jax.tree.leaves(o)[0]).ravel()[:2].sum()
+
     out = fn(*args, **kw)
-    np.asarray(jax.tree.leaves(out)[0])[:2].sum()
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args, **kw)
-    np.asarray(jax.tree.leaves(out)[0])[:2].sum()
+    sync(out)
     return (time.perf_counter() - t0) / REPS
 
 

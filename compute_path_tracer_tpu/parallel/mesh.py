@@ -21,7 +21,7 @@ workgroup grid).  The TPU-native scaling story from BASELINE.json:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -105,6 +105,30 @@ def render_frame_sharded(
         th = band_h if band_h < 64 else 64
         tile = (th, 128)
 
+    run = _sharded_frame_runner(
+        spec, mesh, backend, width, height, debug, band_h, tile,
+        geometry, t_cull, interpret,
+    )
+    return run(
+        jnp.asarray(params, jnp.float32),
+        jnp.asarray(accum, jnp.float32),
+        jnp.asarray(frame, jnp.int32),
+        jnp.asarray(last_clear, jnp.int32),
+        jnp.asarray(bounces, jnp.int32),
+        jnp.asarray(fov, jnp.float32),
+        jnp.asarray(aspect, jnp.float32),
+    )
+
+
+@lru_cache(maxsize=64)
+def _sharded_frame_runner(spec, mesh, backend, width, height, debug, band_h,
+                          tile, geometry, t_cull, interpret):
+    """Build (once per static configuration) the jitted shard_map'd frame
+    function.  Building it inside every render_frame_sharded call re-traced
+    the whole sharded program per frame - measured as a 4x 'overhead' on the
+    1-device-mesh scaling benchmark before round 3 cached it here."""
+    n = mesh.devices.size
+
     if backend == "pallas":
         from ..kernels.megakernel import _pad_to, _pallas_frame_planes
 
@@ -137,15 +161,7 @@ def render_frame_sharded(
             )
             return jnp.transpose(out[:, :band_h, :width], (1, 2, 0))
 
-        return run_pallas(
-            jnp.asarray(params, jnp.float32),
-            jnp.asarray(accum, jnp.float32),
-            jnp.asarray(frame, jnp.int32),
-            jnp.asarray(last_clear, jnp.int32),
-            jnp.asarray(bounces, jnp.int32),
-            jnp.asarray(fov, jnp.float32),
-            jnp.asarray(aspect, jnp.float32),
-        )
+        return run_pallas
 
     @jax.jit
     @partial(
@@ -165,15 +181,7 @@ def render_frame_sharded(
         w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
         return accum_band * (1.0 - w) + col * w
 
-    return run(
-        jnp.asarray(params, jnp.float32),
-        accum,
-        jnp.asarray(frame, jnp.int32),
-        jnp.asarray(last_clear, jnp.int32),
-        jnp.asarray(bounces, jnp.int32),
-        jnp.asarray(fov, jnp.float32),
-        jnp.asarray(aspect, jnp.float32),
-    )
+    return run
 
 
 def make_sharded_frame_fn(mesh: Mesh):
