@@ -156,13 +156,18 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     leaf_shapes = baked_shapes_in_order(spec) if winner_geom else ()
 
     def kernel(iparams_ref, fparams_ref, params_ref, bv_ref, target_ref,
-               col_ref, seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
-               seg_scale_ref, mat_cot_ref, *rest):
+               col_ref, *rest):
         if winner_geom:
-            geom_cot_ref = rest[0]
-            thr_s, g_s, invd_s, rng_s, alive_s = rest[1:]
+            # Winner mode: the per-segment ray state is kernel-internal
+            # (scratch) - the only HBM outputs the XLA reductions read are
+            # col, the winner ids and the cotangent channel planes.
+            (seg_idx_ref, mat_cot_ref, geom_cot_ref,
+             seg_ro_ref, seg_rd_ref, seg_t_ref, seg_scale_ref,
+             thr_s, g_s, invd_s, rng_s, alive_s) = rest
         else:
-            thr_s, g_s, invd_s, rng_s, alive_s = rest
+            (seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
+             seg_scale_ref, mat_cot_ref,
+             thr_s, g_s, invd_s, rng_s, alive_s) = rest
         frame = iparams_ref[0]
         row_offset = iparams_ref[1]
         # Rows at/after y_limit are tile padding (or another shard's band):
@@ -425,23 +430,35 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                             memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
-        jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_ro
-        jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_rd
-        jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_t
-        jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
-        jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_scale
-        jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
-    )
-    out_specs = (tile3(3), tile4(3), tile4(3), tileb(), tileb(), tileb(),
-                 tile4(len(_MAT_CHANNELS)))
     if winner_geom:
-        out_shape = out_shape + (
+        out_shape = (
+            jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
+            jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
+            jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
             jax.ShapeDtypeStruct((B1, GEOM_CHANNELS, ph, pw), f32),
         )
-        out_specs = out_specs + (tile4(GEOM_CHANNELS),)
-    scratch = [
+        out_specs = (tile3(3), tileb(), tile4(len(_MAT_CHANNELS)),
+                     tile4(GEOM_CHANNELS))
+        seg_scratch = [
+            pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_ro
+            pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_rd
+            pltpu.VMEM((B1, tile_h, tile_w), f32),         # seg_t
+            pltpu.VMEM((B1, tile_h, tile_w), f32),         # seg_scale
+        ]
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
+            jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_ro
+            jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_rd
+            jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_t
+            jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
+            jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_scale
+            jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
+        )
+        out_specs = (tile3(3), tile4(3), tile4(3), tileb(), tileb(), tileb(),
+                     tile4(len(_MAT_CHANNELS)))
+        seg_scratch = []
+    scratch = seg_scratch + [
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # thr
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # g (FD diffs)
         pltpu.VMEM((B1, tile_h, tile_w), f32),         # inv_denom
@@ -490,12 +507,15 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         winner_geom=winner_geom,
     )
-    col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = outs[:7]
+    if winner_geom:
+        col, seg_idx, mat_cot, geom_cot = outs
+    else:
+        col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = outs
     sse = jnp.sum(
         (col[:, :crop_h, :width] - target_planes[:, :crop_h, :width]) ** 2
     )
 
-    pw = seg_t.shape[-1]
+    pw = col.shape[-1]
 
     def rows(x):  # (B1[, C], PH, PW) -> stacked rows (B1*PH, PW)
         return x.reshape(-1, pw)
@@ -505,7 +525,6 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         # parameter partials x scale for each pixel's argmin leaf; what's
         # left is the same segment-sum-by-winner-id scatter the material
         # path uses, through the GEOMETRY slot matrix.
-        geom_cot = outs[7]
         gslots = baked_geom_slot_matrix(spec)
         valid = jnp.asarray(gslots >= 0, jnp.float32)
         safe_slots = jnp.asarray(np.maximum(gslots, 0))
