@@ -151,3 +151,17 @@ def test_save_map_overwrite_guard(tmp_path):
         save_map(scene, "guard", maps_dir=str(tmp_path))
     save_map(scene, "guard", maps_dir=str(tmp_path), overwrite=True)
     assert load_map("guard", maps_dir=str(tmp_path)).name == scene.name
+
+
+def test_benchmark_scene_spacing_variant():
+    """The sparse-regime knob (benchmarks/optin_benchmark.py) produces a
+    distinct deterministic scene with the same shape count."""
+    from compute_path_tracer_tpu.scene import benchmark_scene, compile_scene
+
+    a = compile_scene(benchmark_scene(16))
+    b = compile_scene(benchmark_scene(16, spacing=6.4))
+    assert a.spec.n_shapes == b.spec.n_shapes
+    assert a.spec != b.spec or (a.params != b.params).any()
+    b2 = compile_scene(benchmark_scene(16, spacing=6.4))
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(b.params), np.asarray(b2.params))
