@@ -181,6 +181,45 @@ def bench_fwd_bwd(cs, normals="central"):
     }
 
 
+def bench_forward_analytic(cs):
+    """Opt-in semantic-trade forward row: closed-form intersection of the
+    guard-less shapes (analytic_unboxed).  Round-3 measurement: 251 ms =
+    74.3 Mrays/s vs the 288-293 ms faithful headline, ~2.5% of tonemapped
+    pixels >1% delta at 7 accumulated frames (divergence classes in
+    kernels/megakernel.py docstring)."""
+    import jax
+    import numpy as np
+
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+
+    def run(n_frames, accum, frame0):
+        for f in range(n_frames):
+            accum = render_frame_pallas(
+                cs.spec, cs.params, accum=accum, frame=frame0 + f,
+                last_clear=frame0 + f, width=WIDTH, height=HEIGHT,
+                debug=0, bounces=BOUNCES, geometry="baked", t_cull=True,
+                analytic_unboxed=True,
+            )
+        np.asarray(accum[:2, :2]).sum()
+        return accum
+
+    accum = run(WARMUP_FRAMES, None, 0)
+    t0 = time.perf_counter()
+    run(TIMED_FRAMES, accum, WARMUP_FRAMES)
+    dt = time.perf_counter() - t0
+    value = WIDTH * HEIGHT * (BOUNCES + 1) * TIMED_FRAMES / dt
+    return {
+        "metric": f"fwd path-trace rays/s/chip @ {WIDTH}x{HEIGHT}, "
+        f"{N_PRIMS}-prim CSG, {BOUNCES} bounces, analytic_unboxed "
+        "(opt-in semantic trade)",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+        "frame_ms": dt / TIMED_FRAMES * 1e3,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_fused(cs):
     """The fused train step (kernels/train.py): forward render + per-pixel
     backward in one Pallas kernel, parameter scatters in XLA.  Gradient
@@ -263,6 +302,17 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
             "metric": "fwd+bwd train-step rays/s/chip, fused kernel",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
+    if not os.environ.get("BENCH_SKIP_ANALYTIC"):
+        # Opt-in semantic trade (NOT the headline): guard-less shapes
+        # intersected in closed form (kernels/megakernel.py
+        # analytic_unboxed; measured divergence classes documented there).
+        try:
+            print(json.dumps(bench_forward_analytic(_CS)), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "fwd path-trace rays/s/chip, analytic_unboxed",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
     print(json.dumps(bench_forward(_CS)), flush=True)
     return 0
 

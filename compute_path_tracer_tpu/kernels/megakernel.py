@@ -38,9 +38,11 @@ from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
 from ..render.baked import (
     bake,
+    baked_shapes_in_order,
     make_bounds_baked,
     make_map_baked,
     make_map_baked_d,
+    spec_is_union_only,
 )
 from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
 from ..render.scenegen import (
@@ -144,8 +146,80 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
     return jnp.where(t > FP, -1, mi)
 
 
+def _make_analytic_unboxed(spec: SceneSpec):
+    """Closed-form intersection of the GUARD-LESS shapes (``if (true)`` in
+    the reference codegen: infinite planes + unbounded lamp spheres), the
+    round-3-validated semantic trade (benchmarks/analytic_probe.py, 1.50x
+    on the primary march): these shapes cost a map evaluation at EVERY tap
+    of EVERY lane, yet a half-space and a sphere intersect a ray exactly.
+
+    Returns ``(cap_fn, normal_fn)``:
+    ``cap_fn(ro, rd, bv) -> (t_cap, cap_idx)`` - each lane's nearest
+    analytic hit (BIG when none) and its shape id;
+    ``normal_fn(p, cap_idx, bv) -> Vec3`` - the exact surface normal of
+    the capped shape (plane: its unit gradient n; sphere: (p - c)/|p - c|).
+
+    Only plane/sphere guard-less shapes are supported (the library's only
+    uses); the caller validates.
+    """
+    from ..scene.model import KIND_PLANE, KIND_SPHERE
+
+    unboxed = tuple(
+        bs for bs in baked_shapes_in_order(spec) if not bs.aabb
+    )
+    assert all(bs.kind in (KIND_PLANE, KIND_SPHERE) for bs in unboxed)
+
+    def cap_fn(ro, rd, bv):
+        t_cap = jnp.full_like(ro.x, _BIG)
+        cap_idx = jnp.full(ro.x.shape, -1, jnp.int32)
+        for bs in unboxed:
+            o = bs.off
+            if bs.kind == KIND_PLANE:
+                denom = bv[o] * rd.x + bv[o + 1] * rd.y + bv[o + 2] * rd.z
+                f0 = (bv[o] * ro.x + bv[o + 1] * ro.y + bv[o + 2] * ro.z
+                      + bv[o + 3])
+                ok = jnp.abs(denom) > 1e-12
+                t = jnp.where(ok, -f0 / jnp.where(ok, denom, 1.0), _BIG)
+                t = jnp.where(t > 0.0, t, _BIG)
+            else:
+                ocx = ro.x - bv[o]
+                ocy = ro.y - bv[o + 1]
+                ocz = ro.z - bv[o + 2]
+                r = bv[o + 3]
+                b = ocx * rd.x + ocy * rd.y + ocz * rd.z
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c  # |rd| == 1
+                hit = disc >= 0.0
+                root = jnp.sqrt(jnp.where(hit, disc, 0.0))
+                t0 = -b - root
+                t1 = -b + root
+                t = jnp.where(t0 > 0.0, t0,
+                              jnp.where(t1 > 0.0, t1, _BIG))
+                t = jnp.where(hit, t, _BIG)
+            closer = t < t_cap
+            t_cap = jnp.where(closer, t, t_cap)
+            cap_idx = jnp.where(closer, bs.shape_id, cap_idx)
+        return t_cap, cap_idx
+
+    def normal_fn(p, cap_idx, bv):
+        zero = jnp.zeros_like(p.x)
+        n = Vec3(zero, zero, zero)
+        for bs in unboxed:
+            o = bs.off
+            won = cap_idx == bs.shape_id
+            if bs.kind == KIND_PLANE:
+                cand = Vec3(zero + bv[o], zero + bv[o + 1], zero + bv[o + 2])
+            else:
+                cand = Vec3(p.x - bv[o], p.y - bv[o + 1],
+                            p.z - bv[o + 2]).normalize_safe()
+            n = vwhere(won, cand, n)
+        return n
+
+    return cap_fn, normal_fn
+
+
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
-                       with_stats=False, omega=1.0):
+                       with_stats=False, omega=1.0, t_cap=None):
     """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -229,8 +303,15 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
         if not relax:
             step_len = jnp.minimum(ad, clamp)
             nt = jnp.where(done, t, t + step_len)
+            if t_cap is not None:
+                # Analytic-intersection cap: a lane that would march past
+                # its nearest guard-less closed-form hit stops exactly ON
+                # that surface (the map excludes those shapes).
+                nt = jnp.where(done, nt, jnp.minimum(nt, t_cap))
             ntp = jnp.where(done, tp, t)
             ndone = done | (ad < MHD) | (nt > FP)
+            if t_cap is not None:
+                ndone = ndone | (nt >= t_cap)
             return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
         # Overlap check on SIGNED distances: a stretched step is only valid
         # if the unbounding spheres overlap, s_prev <= d_prev + d; signed d
@@ -250,6 +331,8 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
         f_here = jnp.minimum(ad, clamp)
         nt = jnp.where(done, t, jnp.where(overshoot, tp + f_prev,
                                           t + step_len))
+        if t_cap is not None:
+            nt = jnp.where(done, nt, jnp.minimum(nt, t_cap))
         ntp = jnp.where(done, tp, jnp.where(overshoot, tp, t))
         nd_prev = jnp.where(done, d_prev, jnp.where(overshoot, d_prev, d))
         ns_prev = jnp.where(done, s_prev,
@@ -258,6 +341,8 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
                             jnp.where(overshoot, f_prev, f_here))
         hit = jnp.logical_and(~overshoot, ad < MHD)
         ndone = done | hit | (nt > FP)
+        if t_cap is not None:
+            ndone = ndone | (nt >= t_cap)
         return (step + 1, nt, ntp, ndone.astype(jnp.int32),
                 nd_prev, ns_prev, nf_prev, actacc)
 
@@ -357,7 +442,7 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                      pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
-                     stats=False, omega=1.0):
+                     stats=False, omega=1.0, analytic=None):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -404,11 +489,16 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
         def map_fn(p, pv_, checks_):
             return map_d_culled(p, pv_, checks_, anyhit), None
 
+        if analytic is not None:
+            t_cap, cap_idx = analytic[0](ro, rd, pv)
+        else:
+            t_cap = cap_idx = None
         if t_cull:
             ivals = _interval_scalars(checks, tns, tfs)
             out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
                                      ivals, alive=alive,
-                                     with_stats=stats, omega=omega)
+                                     with_stats=stats, omega=omega,
+                                     t_cap=t_cap)
             if stats:
                 t, tp, msteps, mact = out
                 steps_tot = steps_tot + msteps.astype(jnp.float32)
@@ -422,6 +512,8 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
         act = alive & ~miss
+        capped = (None if t_cap is None
+                  else act & (t >= t_cap))
         any_act = jnp.max(act.astype(jnp.int32)) > 0
         hit_pos = ro + rd * t
 
@@ -467,6 +559,11 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
             rng_, ro_, rd_, ret_, thr_, i_exit_, aux_ = args
             idx = _final_idx(map_culled, ro_, rd_, pv, checks, aux_anyhit, t, tp)
             n = normal_fn(map_fn, hit_pos, pv, checks)
+            if capped is not None:
+                # Analytic winners: exact shape id + exact surface normal
+                # (the excluded map knows nothing about these shapes).
+                idx = jnp.where(capped, cap_idx, idx)
+                n = vwhere(capped, analytic[1](hit_pos, cap_idx, pv), n)
             mat = gather_mat(idx)
             rng2, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
                 rng_, rd_, hit_pos, n, mat
@@ -514,7 +611,8 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
 def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int,
                  geometry: str = "faithful", normals: str = "central",
-                 t_cull: bool = False, omega: float = 1.0):
+                 t_cull: bool = False, omega: float = 1.0,
+                 analytic_unboxed: bool = False):
     """Kernel body: one VMEM tile.
 
     ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
@@ -527,9 +625,32 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     artifact optin_r03.jsonl; decision rule in ROADMAP).
     """
     baked = geometry == "baked"
+    analytic = None
+    if analytic_unboxed:
+        from ..scene.model import KIND_PLANE, KIND_SPHERE
+
+        if not (baked and t_cull):
+            raise ValueError(
+                "analytic_unboxed requires geometry='baked' and t_cull=True"
+            )
+        if not spec_is_union_only(spec):
+            raise ValueError("analytic_unboxed requires a union-only tree")
+        unboxed = [bs for bs in baked_shapes_in_order(spec) if not bs.aabb]
+        if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
+            raise ValueError(
+                "analytic_unboxed supports plane/sphere guard-less shapes"
+            )
+        if debug in (1, 2):
+            raise ValueError(
+                "analytic_unboxed supports the path-traced modes (debug "
+                "0/3/4); the id-march debug diagnostics stay faithful"
+            )
+        if unboxed:
+            analytic = _make_analytic_unboxed(spec)
     if baked:
-        map_culled = make_map_baked(spec)
-        map_d_culled = make_map_baked_d(spec)
+        skip = analytic is not None
+        map_culled = make_map_baked(spec, skip_unboxed=skip)
+        map_d_culled = make_map_baked_d(spec, skip_unboxed=skip)
         bounds_fn = make_bounds_baked(spec, with_t=t_cull)
     else:
         map_culled = make_map_culled(spec)
@@ -592,6 +713,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
                     normal_fn=normal_fn, t_cull=t_cull, omega=omega,
+                    analytic=analytic,
                 )
                 if debug == 3:
                     col = Vec3.splat(
@@ -606,6 +728,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
                     normal_fn=normal_fn, t_cull=t_cull, stats=True,
+                    analytic=analytic,
                 )
                 zero2 = jnp.zeros((tile_h, tile_w), jnp.float32)
                 col = Vec3(
@@ -671,7 +794,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     jax.jit,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w",
-        "geometry", "normals", "t_cull", "omega", "interpret",
+        "geometry", "normals", "t_cull", "omega", "analytic_unboxed",
+        "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -694,6 +818,7 @@ def _pallas_frame_planes(
     normals: str = "central",
     t_cull: bool = False,
     omega: float = 1.0,
+    analytic_unboxed: bool = False,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -711,7 +836,7 @@ def _pallas_frame_planes(
     )
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w,
-                          geometry, normals, t_cull, omega)
+                          geometry, normals, t_cull, omega, analytic_unboxed)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -763,11 +888,19 @@ def render_frame_pallas(
     normals: str = "central",
     t_cull: bool = False,
     omega: float = 1.0,
+    analytic_unboxed: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
     Pallas megakernel.  Same (H, W, 3) accumulator interface; the image is
     padded up to tile multiples internally and cropped on return.
+
+    ``analytic_unboxed=True`` (opt-in semantic trade, union-only scenes,
+    baked + t_cull): guard-less plane/sphere shapes leave the map and are
+    intersected in closed form per lane (benchmarks/analytic_probe.py:
+    1.50x on the primary march).  Hits land exactly ON those surfaces
+    instead of the |d| < MHD shell, and creeping budget-exit rays resolve
+    exactly - the documented divergence classes.
     """
     if aspect is None:
         aspect = width / height
@@ -795,6 +928,7 @@ def render_frame_pallas(
         normals=normals,
         t_cull=t_cull,
         omega=omega,
+        analytic_unboxed=analytic_unboxed,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))

@@ -68,7 +68,6 @@ from ..render.baked import (
     make_map_baked,
     make_map_baked_d,
 )
-from ..scene.compile import OP_UNION
 from ..render.reference import Mat, shade_bounce
 from ..render.scenegen import material_slot_matrix
 from ..scene.compile import SceneSpec
@@ -98,17 +97,12 @@ _MAT_CHANNELS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
 
 
 def _union_only(spec: SceneSpec) -> bool:
-    """True when every CSG op in the tree is a plain union - the regime
-    where the map's parameter cotangent flows ONLY through the per-pixel
-    argmin leaf (a min-fold's vjp routes everything to the winner), so the
-    f_theta reduction needs no map transpose at all."""
+    """Union-only trees route the map's parameter cotangent through the
+    per-pixel argmin leaf alone (a min-fold's vjp), enabling the
+    winner-leaf backend.  Shared predicate: render/baked.py."""
+    from ..render.baked import spec_is_union_only
 
-    def walk(u):
-        if u.op != OP_UNION:
-            return False
-        return all(walk(c) for c in u.children_unions)
-
-    return all(walk(r) for r in spec.roots)
+    return spec_is_union_only(spec)
 
 
 def _mat_flat(m: Mat):

@@ -324,16 +324,18 @@ def _eval_shape(bs: BakedShape, p, bv, checks, acc_d, acc_i, op, k, si):
     return cd, ci
 
 
-def _union_cull_pred(bu: BakedUnion, anyhit):
+def _union_cull_pred(bu: BakedUnion, anyhit, skip_unboxed=False):
     terms = []
     for cu in bu.children_unions:
-        t = _union_cull_pred(cu, anyhit)
+        t = _union_cull_pred(cu, anyhit, skip_unboxed)
         if t is True:
             return True
         if t is not False:
             terms.append(t)
     for bs in bu.children_shapes:
         if not bs.aabb:
+            if skip_unboxed:
+                continue
             return True
         terms.append(anyhit[bs.shape_id])
     if not terms:
@@ -344,15 +346,17 @@ def _union_cull_pred(bu: BakedUnion, anyhit):
     return pred
 
 
-def _eval_union(bu: BakedUnion, p, bv, checks, anyhit):
+def _eval_union(bu: BakedUnion, p, bv, checks, anyhit, skip_unboxed=False):
     def evaluate(_):
         acc_d = p.x * 0.0 + bv[bu.init_off]
         acc_i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
-            cd, ci = _eval_union(cu, p, bv, checks, anyhit)
+            cd, ci = _eval_union(cu, p, bv, checks, anyhit, skip_unboxed)
             acc_d, acc_i = _combine(bu.op, acc_d, acc_i, cd, ci, 1, k)
         for si, bs in enumerate(bu.children_shapes):
+            if skip_unboxed and not bs.aabb:
+                continue
             if bs.aabb and anyhit is not None:
                 def do(args, bs=bs, si=si, k=k):
                     return _eval_shape(bs, p, bv, checks, args[0], args[1], bu.op, k, si)
@@ -373,7 +377,7 @@ def _eval_union(bu: BakedUnion, p, bv, checks, anyhit):
 
     if anyhit is None:
         return evaluate(None)
-    pred = _union_cull_pred(bu, anyhit)
+    pred = _union_cull_pred(bu, anyhit, skip_unboxed)
     if pred is True:
         return evaluate(None)
     if pred is False:
@@ -419,7 +423,8 @@ def _guarded_runs(children, anyhit, group):
         i = j
 
 
-def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
+def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit,
+                  skip_unboxed=False):
     """Distance-only fold of :func:`_eval_union` - no winning-id selects.
 
     The march only needs the scene distance per tap; the winning shape id is
@@ -441,7 +446,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
         acc_d = p.x * 0.0 + bv[bu.init_off]
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
-            cd = _eval_union_d(cu, p, bv, checks, anyhit)
+            cd = _eval_union_d(cu, p, bv, checks, anyhit, skip_unboxed)
             acc_d = _combine_scalar(bu.op, acc_d, cd, k)
         cs = bu.children_shapes
         for start, run in _guarded_runs(cs, anyhit, 1):
@@ -450,6 +455,11 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
                 and anyhit[run[0].shape_id] is not None
             )
             if not guarded:
+                if skip_unboxed and not cs[start].aabb:
+                    # Guard-less shape excluded (analytic-intersection mode;
+                    # only valid for union-only folds, where dropping a
+                    # min-fold member is order-insensitive).
+                    continue
                 acc_d = _eval_shape_d(cs[start], p, bv, checks, acc_d, bu.op,
                                       k, start)
                 continue
@@ -480,7 +490,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
 
     if anyhit is None:
         return evaluate(None)
-    pred = _union_cull_pred(bu, anyhit)
+    pred = _union_cull_pred(bu, anyhit, skip_unboxed)
     if pred is True:
         return evaluate(None)
     if pred is False:
@@ -488,37 +498,60 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit):
     return jax.lax.cond(pred, evaluate, skip, None)
 
 
-def make_map_baked_d(spec: SceneSpec):
+def make_map_baked_d(spec: SceneSpec, skip_unboxed: bool = False):
     """Distance-only ``map(p, bv, checks, anyhit=None) -> d`` over baked
     geometry: identical distances to :func:`make_map_baked` with every
-    winning-id int32 select removed (march + normal taps don't need ids)."""
+    winning-id int32 select removed (march + normal taps don't need ids).
+
+    ``skip_unboxed=True`` (union-only specs) excludes the guard-less
+    shapes - the analytic-intersection march handles them in closed form
+    (kernels/megakernel.py ``analytic_unboxed``)."""
     layout = baked_layout(spec)
+    if skip_unboxed and not spec_is_union_only(spec):
+        raise ValueError("skip_unboxed requires a union-only CSG tree")
 
     def map_fn(p: Vec3, bv, checks, anyhit=None):
         d = jnp.full_like(p.x, MAX_DIST)
         for broot in layout.roots:
-            d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit))
+            d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit,
+                                             skip_unboxed))
         return d
 
     return map_fn
 
 
-def make_map_baked(spec: SceneSpec):
+def make_map_baked(spec: SceneSpec, skip_unboxed: bool = False):
     """Build ``map(p, bv, checks, anyhit=None) -> (d, idx)`` over baked
     geometry.  ``anyhit`` (tile-uniform per-shape predicates) enables the
     whole-subtree lax.cond skipping of scenegen.make_map_culled; pass None
-    for the plain per-lane-guard map (oracle use)."""
+    for the plain per-lane-guard map (oracle use).  ``skip_unboxed``: see
+    :func:`make_map_baked_d`."""
     layout = baked_layout(spec)
+    if skip_unboxed and not spec_is_union_only(spec):
+        raise ValueError("skip_unboxed requires a union-only CSG tree")
 
     def map_fn(p: Vec3, bv, checks, anyhit=None):
         d = jnp.full_like(p.x, MAX_DIST)
         i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         for broot in layout.roots:
-            rd_, ri_ = _eval_union(broot, p, bv, checks, anyhit)
+            rd_, ri_ = _eval_union(broot, p, bv, checks, anyhit, skip_unboxed)
             d, i = _combine(OP_UNION, d, i, rd_, ri_, 1)
         return d, i
 
     return map_fn
+
+
+def spec_is_union_only(spec: SceneSpec) -> bool:
+    """True when every CSG op in the tree is a plain union (min-fold).
+    Gates order-insensitive optimizations: winner-leaf gradients
+    (kernels/train.py) and guard-less-shape exclusion (skip_unboxed)."""
+
+    def walk(u):
+        if u.op != OP_UNION:
+            return False
+        return all(walk(c) for c in u.children_unions)
+
+    return all(walk(r) for r in spec.roots)
 
 
 GEOM_CHANNELS = max(_GEOM_SLOTS.values())  # widest leaf slot count (cube: 15)

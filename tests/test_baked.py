@@ -177,3 +177,35 @@ def test_tcull_march_matches_plain():
     b = render_frame_pallas(cs.spec, pv, t_cull=True, **kw)
     d = np.abs(np.asarray(a) - np.asarray(b))
     assert float((d.max(axis=2) > 1e-2).mean()) < 0.01
+
+
+def test_analytic_unboxed_matches_oracle():
+    """Opt-in analytic intersection of the guard-less shapes
+    (megakernel analytic_unboxed, the round-3-validated semantic trade):
+    the full path trace must match the oracle except at the documented
+    shell-vs-surface / budget-exit divergence classes (measured 0.08% of
+    pixels at this config)."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.scene import benchmark_scene
+
+    cs = compile_scene(benchmark_scene(16))
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=64, height=32, bounces=2, debug=0, frame=2, last_clear=0)
+    a = np.asarray(render_frame(cs.spec, pv, geometry="baked", **kw))
+    c = np.asarray(render_frame_pallas(
+        cs.spec, pv, geometry="baked", t_cull=True, analytic_unboxed=True,
+        interpret=True, tile=(32, 128), **kw,
+    ))
+    assert np.isfinite(c).all()
+    d = np.abs(c - a).max(axis=2)
+    assert float((d > 1e-2).mean()) < 0.02, float((d > 1e-2).mean())
+
+
+def test_analytic_unboxed_validation():
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+
+    cs = compile_scene(csg_demo())  # has a subtraction: not union-only
+    with np.testing.assert_raises(ValueError):
+        render_frame_pallas(cs.spec, jnp.asarray(cs.params), width=32,
+                            height=32, geometry="baked", t_cull=True,
+                            analytic_unboxed=True, interpret=True)
