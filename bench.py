@@ -220,10 +220,12 @@ def bench_forward_analytic(cs):
     }
 
 
-def bench_fused(cs):
+def bench_fused(cs, analytic=False):
     """The fused train step (kernels/train.py): forward render + per-pixel
     backward in one Pallas kernel, parameter scatters in XLA.  Gradient
-    semantics = normals="detached" (the fast-training configuration)."""
+    semantics = normals="detached" (the fast-training configuration).
+    ``analytic=True`` additionally applies the analytic_unboxed semantic
+    trade (round 3: 475 -> 385 ms)."""
     import jax
     import numpy as np
 
@@ -232,6 +234,7 @@ def bench_fused(cs):
     target = np.zeros((HEIGHT, WIDTH, 3), np.float32)
     step = make_fused_value_and_grad(
         cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
+        analytic_unboxed=analytic,
     )
     _, g = step(cs.params)
     np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
@@ -244,10 +247,11 @@ def bench_fused(cs):
 
     rays = WIDTH * HEIGHT * (BOUNCES + 1)
     value = rays / dt
+    label = ", analytic_unboxed" if analytic else ""
     return {
         "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
         f"{N_PRIMS}-prim CSG, {BOUNCES} bounces, fused kernel "
-        "(normals=detached)",
+        f"(normals=detached{label})",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / 1e9,
@@ -303,6 +307,13 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
     if not os.environ.get("BENCH_SKIP_ANALYTIC"):
+        try:
+            print(json.dumps(bench_fused(_CS, analytic=True)), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "fwd+bwd train-step, fused + analytic_unboxed",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
         # Opt-in semantic trade (NOT the headline): guard-less shapes
         # intersected in closed form (kernels/megakernel.py
         # analytic_unboxed; measured divergence classes documented there).

@@ -142,10 +142,19 @@ def _segment_matmul(seg_idx, cot, n_shapes):
 
 def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                        bounces: int, tile_h: int, tile_w: int,
-                       winner_geom: bool):
+                       winner_geom: bool, analytic_unboxed: bool = False):
     B1 = bounces + 1
-    map_ids = make_map_baked(spec)
-    map_d = make_map_baked_d(spec)
+    analytic = None
+    if analytic_unboxed:
+        from .megakernel import _make_analytic_unboxed
+
+        # Same preconditions as the megakernel flag; make_map_baked*
+        # validates union-only below via skip_unboxed.
+        if any(not bs.aabb for bs in baked_shapes_in_order(spec)):
+            analytic = _make_analytic_unboxed(spec)
+    skip = analytic is not None
+    map_ids = make_map_baked(spec, skip_unboxed=skip)
+    map_d = make_map_baked_d(spec, skip_unboxed=skip)
     bounds_fn = make_bounds_baked(spec, with_t=True)
     leaf_shapes = baked_shapes_in_order(spec) if winner_geom else ()
 
@@ -201,11 +210,16 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             checks, tns, tfs, _dbg = bounds_fn(ro, rd, bv)
             checks = tuple(None if c is None else c & alive for c in checks)
             ivals = _interval_scalars(checks, tns, tfs)
+            if analytic is not None:
+                t_cap, cap_idx = analytic[0](ro, rd, bv)
+            else:
+                t_cap = cap_idx = None
             t, tp = _march_while_tcull(map_d, ro, rd, bv, checks, ivals,
-                                       alive=alive)
+                                       alive=alive, t_cap=t_cap)
 
             miss = t > FP
             act = alive & ~miss
+            capped = None if t_cap is None else act & (t >= t_cap)
             hit = ro + rd * t
 
             # Hit-front aux actives (megakernel t_cull branch semantics).
@@ -230,6 +244,14 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 tap(0.0, e, 0.0) - tap(0.0, -e, 0.0),
                 tap(0.0, 0.0, e) - tap(0.0, 0.0, -e),
             )
+            if capped is not None:
+                # Analytic winners: exact ids and exact UNIT surface
+                # gradients (scaled so g * 0.5/e recovers a unit normal -
+                # the implicit A/B factors and the FD normalization both
+                # stay correct).
+                idx = jnp.where(capped, cap_idx, idx)
+                n_an = analytic[1](hit, cap_idx, bv)
+                g = vwhere(capped, n_an * jnp.float32(2.0 * _EPS_N), g)
             n = g.normalize_safe()
             denom = g.dot(rd) * jnp.float32(0.5 / _EPS_N)
             safe = (jnp.abs(denom) > _DENOM_EPS) & act
@@ -391,11 +413,12 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "tile_h", "tile_w",
-                     "interpret", "winner_geom"),
+                     "interpret", "winner_geom", "analytic_unboxed"),
 )
 def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   row_offset, y_limit, *, width, height, bounces, tile_h,
-                  tile_w, interpret, winner_geom=False):
+                  tile_w, interpret, winner_geom=False,
+                  analytic_unboxed=False):
     B1 = bounces + 1
     ph, pw = target_planes.shape[1], target_planes.shape[2]
     grid = (ph // tile_h, pw // tile_w)
@@ -407,7 +430,7 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                          jnp.asarray(aspect, jnp.float32), seed_scale])
 
     kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w,
-                                winner_geom)
+                                winner_geom, analytic_unboxed)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def tile3(c):
@@ -482,11 +505,12 @@ def _pad_planes(x, th, tw):
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "crop_h", "bounces", "tile_h",
-                     "tile_w", "interpret"),
+                     "tile_w", "interpret", "analytic_unboxed"),
 )
 def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
                              aspect, row_offset, *, width, height, crop_h,
-                             bounces, tile_h, tile_w, interpret):
+                             bounces, tile_h, tile_w, interpret,
+                             analytic_unboxed=False):
     """Band-shardable core: renders the rows [row_offset, row_offset+crop_h)
     of the global (height, width) image (``target_planes`` covers just that
     band, padded to tiles) and returns the band's summed squared error, its
@@ -499,7 +523,7 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         row_offset + crop_h,
         width=width, height=height, bounces=bounces,
         tile_h=tile_h, tile_w=tile_w, interpret=interpret,
-        winner_geom=winner_geom,
+        winner_geom=winner_geom, analytic_unboxed=analytic_unboxed,
     )
     if winner_geom:
         col, seg_idx, mat_cot, geom_cot = outs
@@ -572,6 +596,7 @@ def make_fused_value_and_grad(
     tile=DEFAULT_TILE,
     interpret: bool = False,
     with_image: bool = False,
+    analytic_unboxed: bool = False,
 ):
     """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE
     between the rendered frame and ``target`` and grad is d loss / d params -
@@ -598,7 +623,7 @@ def make_fused_value_and_grad(
             jnp.asarray(frame, jnp.int32), jnp.float32(fov),
             jnp.float32(aspect), jnp.int32(0), width=width, height=height,
             crop_h=height, bounces=bounces, tile_h=th, tile_w=tw,
-            interpret=interpret,
+            interpret=interpret, analytic_unboxed=analytic_unboxed,
         )
         loss = sse * inv_n
         if with_image:
