@@ -401,6 +401,7 @@ def make_fused_sharded_train_step(
     learning_rate: float = 2e-2,
     tile=None,
     interpret: bool = None,
+    analytic_unboxed: bool = False,
 ):
     """Distributed training step over the FUSED kernel (kernels/train.py):
     each chip runs the forward+per-pixel-backward kernel on its row band
@@ -447,7 +448,7 @@ def make_fused_sharded_train_step(
             spec, params, band_planes, frame, jnp.float32(fov),
             jnp.float32(aspect), row0, width=width, height=height,
             crop_h=band_h, bounces=bounces, tile_h=th, tile_w=tw,
-            interpret=interpret,
+            interpret=interpret, analytic_unboxed=analytic_unboxed,
         )
         return lax.psum(sse, TILE_AXIS), lax.psum(grad, TILE_AXIS)
 

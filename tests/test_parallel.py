@@ -214,3 +214,36 @@ def test_fused_sharded_train_step_matches_single_chip():
     scale = np.abs(want).max()
     np.testing.assert_allclose(grad_sharded, want, atol=1e-4 * scale,
                                rtol=1e-3)
+
+
+def test_fused_sharded_analytic_matches_single_chip():
+    """analytic_unboxed plumbs through the sharded fused step: per-band
+    closed-form capping must reproduce the single-chip fused-analytic
+    loss/gradient exactly (same kernel, same absolute row offsets)."""
+    from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+    from compute_path_tracer_tpu.parallel import make_fused_sharded_train_step
+
+    cs = compile_scene(sphere_and_plane())
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(4)
+    target = rng.random((H, W, 3)).astype(np.float32) * 0.2
+    params = jnp.asarray(cs.params)
+
+    step = make_fused_sharded_train_step(
+        cs.spec, mesh, width=W, height=H, bounces=1, learning_rate=1.0,
+        analytic_unboxed=True,
+    )
+    new_params, loss_sharded = step(params, jnp.asarray(target), jnp.int32(0))
+    grad_sharded = np.asarray(params - new_params)
+
+    single = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=1, interpret=True,
+        analytic_unboxed=True,
+    )
+    loss_single, grad_single = single(params)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    want = np.asarray(grad_single)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(grad_sharded, want, atol=1e-4 * scale,
+                               rtol=1e-3)
