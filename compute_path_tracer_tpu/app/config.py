@@ -39,6 +39,11 @@ class Settings:
     aabb: int = 0
 
     def validate(self) -> "Settings":
+        # The 0..=3 range is the reference's Settings slider
+        # (path_tracer.rs:159).  The megakernel's debug=4 in-kernel stats
+        # mode is a diagnostic extension NOT reachable through Settings by
+        # design - it returns counter planes, not an image; use
+        # render_frame_pallas(debug=4) / benchmarks/diagnose.py directly.
         if not 0 <= self.debug <= 3:
             raise ValueError("debug must be in 0..=3")
         if not 0 <= self.bounces <= 32:

@@ -156,7 +156,7 @@ class TuiController:
             self.status = "not a param row"
             return None
         p = row.param
-        p.set(min(p.hi, max(p.lo, p.val + direction * p.speed * 10 * factor)))
+        p.set(min(p.hi, max(p.lo, p.val + direction * p.speed * factor)))
         return self._apply(structural=False)
 
     def toggle(self):

@@ -43,7 +43,7 @@ def optimize_to_target(
     edge_beta: float = 0.5,
     march: str = "xla",
     fused: bool = False,
-    interpret: bool = None,
+    interpret: Optional[bool] = None,
 ) -> OptimizeResult:
     """Adam-optimize the parameter vector toward a target image.
 
@@ -59,18 +59,42 @@ def optimize_to_target(
     final params and the per-step loss trace.
     """
     if fused:
-        from ..kernels.train import make_fused_value_and_grad
+        from ..kernels.train import check_no_refraction, make_fused_value_and_grad
 
         if edge_grad or spp != 1:
             raise ValueError(
                 "fused=True supports spp=1 without edge_grad; use the XLA "
                 "path for edge-gradient or multi-sample optimization"
             )
+        if not implicit or geometry != "faithful" or march != "xla":
+            # The fused kernel has fixed semantics (baked geometry, on-chip
+            # march, detached normals); a caller explicitly requesting the
+            # XLA-path knobs would silently get something else.
+            raise ValueError(
+                "fused=True ignores implicit/geometry/march (the fused "
+                "kernel is always baked geometry + on-chip march with "
+                "detached normals); leave them at their defaults or use "
+                "fused=False"
+            )
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
+        check_no_refraction(spec, jnp.asarray(init_params, jnp.float32))
         vag = make_fused_value_and_grad(
             spec, target, width=width, height=height, bounces=bounces,
             interpret=interpret,
+        )
+        # Pin refract_chance at its (checked-zero) init: the fused model
+        # cannot represent nonzero values (forward shades them as 0), so
+        # letting the valid-at-zero channel-13 gradient move the param off
+        # zero would silently switch to wrong-model gradients mid-run.
+        from ..render.scenegen import material_slot_matrix
+
+        rc_mask = jnp.ones(jnp.asarray(init_params).shape, jnp.float32)
+        rc_mask = rc_mask.at[
+            jnp.asarray(material_slot_matrix(spec)[:, 13])
+        ].set(0.0)
+        param_mask = rc_mask if param_mask is None else (
+            jnp.asarray(param_mask, jnp.float32) * rc_mask
         )
     else:
         loss_fn = make_loss(

@@ -167,7 +167,12 @@ def _make_analytic_unboxed(spec: SceneSpec):
     unboxed = tuple(
         bs for bs in baked_shapes_in_order(spec) if not bs.aabb
     )
-    assert all(bs.kind in (KIND_PLANE, KIND_SPHERE) for bs in unboxed)
+    if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
+        # A raise (not assert): callers validate, but a guard-less shape of
+        # another kind must fail loudly even under ``python -O``.
+        raise ValueError(
+            "analytic_unboxed supports plane/sphere guard-less shapes"
+        )
 
     def cap_fn(ro, rd, bv):
         t_cap = jnp.full_like(ro.x, _BIG)

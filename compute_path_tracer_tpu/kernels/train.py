@@ -37,8 +37,8 @@ hit-t):
   relative difference;
 * material semantics are the megakernel's (refraction channels are carried
   for their ``ray_prob`` gradient but never shaded, matching
-  _make_smem_gather_mat; scenes with nonzero refract_chance should train
-  through diff/vjp.py instead);
+  _make_smem_gather_mat; scenes with nonzero refract_chance must train
+  through diff/vjp.py instead - enforced by :func:`check_no_refraction`);
 * secondary-bounce aux-tap culling inherits the megakernel's documented
   eps-level caveat.
 """
@@ -96,6 +96,29 @@ _DENOM_EPS = 1e-6  # implicit-gradient denominator clamp (diff/vjp.py)
 _MAT_CHANNELS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
 
 
+def check_no_refraction(spec: SceneSpec, params) -> None:
+    """Raise if any material's refract_chance is nonzero.
+
+    The fused kernel's forward AND gradient use the megakernel's material
+    semantics (refraction carried for its ray_prob gradient but never
+    shaded, _make_smem_gather_mat) - a glass scene would silently train
+    against the wrong model.  Such scenes must use diff/vjp.py.  Called
+    with CONCRETE params (build/entry time); traced calls skip the check
+    because the values are unknowable then.
+    """
+    if isinstance(params, jax.core.Tracer):
+        return
+    slots = material_slot_matrix(spec)[:, 13]  # refract_chance channel
+    vals = np.asarray(params)[np.asarray(slots)]
+    if np.any(vals != 0.0):
+        raise ValueError(
+            "scene has nonzero refract_chance materials: the fused train "
+            "kernel never shades refraction, so its gradients are for the "
+            "wrong model - train through diff/vjp.py (march='pallas') "
+            "instead"
+        )
+
+
 def _union_only(spec: SceneSpec) -> bool:
     """Union-only trees route the map's parameter cotangent through the
     per-pixel argmin leaf alone (a min-fold's vjp), enabling the
@@ -146,11 +169,20 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     B1 = bounces + 1
     analytic = None
     if analytic_unboxed:
+        from ..scene.model import KIND_PLANE, KIND_SPHERE
         from .megakernel import _make_analytic_unboxed
 
-        # Same preconditions as the megakernel flag; make_map_baked*
-        # validates union-only below via skip_unboxed.
-        if any(not bs.aabb for bs in baked_shapes_in_order(spec)):
+        # Mirror the megakernel's analytic_unboxed preconditions as explicit
+        # ValueErrors (megakernel.py:_make_kernel) - the fused path always
+        # runs baked+t_cull, so only the tree/kind checks apply here.
+        if not _union_only(spec):
+            raise ValueError("analytic_unboxed requires a union-only tree")
+        unboxed = [bs for bs in baked_shapes_in_order(spec) if not bs.aabb]
+        if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
+            raise ValueError(
+                "analytic_unboxed supports plane/sphere guard-less shapes"
+            )
+        if unboxed:
             analytic = _make_analytic_unboxed(spec)
     skip = analytic is not None
     map_ids = make_map_baked(spec, skip_unboxed=skip)
@@ -618,6 +650,7 @@ def make_fused_value_and_grad(
     inv_n = 1.0 / float(width * height * 3)
 
     def step(params, frame=0):
+        check_no_refraction(spec, params)
         sse, grad, col = _fused_sse_and_grad_impl(
             spec, jnp.asarray(params, jnp.float32), target_planes,
             jnp.asarray(frame, jnp.int32), jnp.float32(fov),

@@ -453,12 +453,18 @@ def make_fused_sharded_train_step(
         return lax.psum(sse, TILE_AXIS), lax.psum(grad, TILE_AXIS)
 
     @jax.jit
-    def step(params, target, frame):
+    def _step(params, target, frame):
         sse, grad = sse_and_grad(
             jnp.asarray(params, jnp.float32),
             jnp.asarray(target, jnp.float32), jnp.asarray(frame, jnp.int32),
         )
         new_params = params - learning_rate * grad
         return new_params, sse * inv_n
+
+    def step(params, target, frame):
+        from ..kernels.train import check_no_refraction
+
+        check_no_refraction(spec, params)
+        return _step(params, target, frame)
 
     return step

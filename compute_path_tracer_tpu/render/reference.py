@@ -375,8 +375,8 @@ def render_pixels(
     ``geometry="baked"`` evaluates the scene through per-frame leaf-baked
     affine coefficients (render/baked.py) instead of the faithful per-tap
     transform chains - same results up to fp rounding, far fewer flops per
-    map tap.  ``normals="analytic"`` (baked only) replaces the 6-tap central
-    difference with the winning leaf's closed-form gradient.
+    map tap.  ``normals="autodiff"`` replaces the 6-tap central difference
+    with the exact reverse-mode map gradient at the hit point.
     """
     if geometry == "baked":
         from .baked import bake, make_bounds_baked, make_map_baked

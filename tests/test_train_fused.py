@@ -114,6 +114,12 @@ def test_fused_optimizer_path():
     rng = np.random.default_rng(2)
     init = np.asarray(cs2.params, np.float32)
     init = init + rng.normal(0, 0.05, init.shape).astype(np.float32)
+    # Keep refract_chance at zero: the fused entry rejects refracting
+    # scenes (check_no_refraction), and the perturbation is about
+    # materials the kernel actually shades.
+    from compute_path_tracer_tpu.render.scenegen import material_slot_matrix
+
+    init[material_slot_matrix(cs2.spec)[:, 13]] = 0.0
     res = optimize_to_target(
         cs2.spec, init, target, width=32, height=16, bounces=1, steps=12,
         learning_rate=2e-2, fused=True, interpret=True,
@@ -131,9 +137,63 @@ def test_fused_grad_descends(cs, target, fused):
     step = make_fused_value_and_grad(
         cs.spec, target, width=W, height=H, bounces=BOUNCES, interpret=True,
     )
-    lr = 1e-2 / max(float(np.abs(np.asarray(grad)).max()), 1e-8)
+    # Pin refract_chance (channel 13): its gradient is only valid at 0 and
+    # the entry guard rejects params stepped off zero (check_no_refraction).
+    from compute_path_tracer_tpu.render.scenegen import material_slot_matrix
+
+    grad = np.asarray(grad).copy()
+    grad[material_slot_matrix(cs.spec)[:, 13]] = 0.0
+    lr = 1e-2 / max(float(np.abs(grad).max()), 1e-8)
     loss1, _ = step(jnp.asarray(cs.params) - lr * grad)
     assert float(loss1) < float(loss0)
+
+
+def test_refracting_scene_rejected():
+    """A glass scene cannot silently train through the fused kernel: its
+    forward/gradient use megakernel material semantics (refraction never
+    shaded), so entry points reject nonzero refract_chance params with a
+    pointer at the diff/vjp.py path."""
+    from compute_path_tracer_tpu.diff import optimize_to_target
+    from compute_path_tracer_tpu.scene import glass_demo
+
+    cs2 = compile_scene(glass_demo())
+    tgt = np.zeros((H, W, 3), np.float32)
+    step = make_fused_value_and_grad(cs2.spec, tgt, width=W, height=H,
+                                     bounces=BOUNCES, interpret=True)
+    with pytest.raises(ValueError, match="refract"):
+        step(jnp.asarray(cs2.params))
+    with pytest.raises(ValueError, match="refract"):
+        optimize_to_target(cs2.spec, cs2.params, tgt, width=W, height=H,
+                           bounces=BOUNCES, fused=True, interpret=True)
+
+
+def test_fused_rejects_xla_knob_requests():
+    """optimize_to_target(fused=True) must not silently ignore explicit
+    XLA-path knobs (the fused kernel has fixed semantics)."""
+    from compute_path_tracer_tpu.diff import optimize_to_target
+    from compute_path_tracer_tpu.scene import sphere_and_plane
+
+    cs2 = compile_scene(sphere_and_plane())
+    tgt = np.zeros((16, 32, 3), np.float32)
+    for kw in ({"geometry": "baked"}, {"march": "pallas"},
+               {"implicit": False}):
+        with pytest.raises(ValueError, match="fused=True ignores"):
+            optimize_to_target(cs2.spec, cs2.params, tgt, width=32,
+                               height=16, bounces=1, fused=True,
+                               interpret=True, **kw)
+
+
+def test_analytic_unboxed_precondition_errors():
+    """The fused trainer mirrors the megakernel's analytic_unboxed
+    ValueErrors instead of relying on a strippable assert (csg_demo has a
+    subtraction node -> union-only check fires)."""
+    cs2 = compile_scene(csg_demo())
+    tgt = np.zeros((H, W, 3), np.float32)
+    with pytest.raises(ValueError, match="union-only"):
+        make_fused_value_and_grad(
+            cs2.spec, tgt, width=W, height=H, bounces=BOUNCES,
+            interpret=True, analytic_unboxed=True,
+        )(jnp.asarray(cs2.params))
 
 
 def test_fused_analytic_unboxed():
