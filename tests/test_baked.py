@@ -101,6 +101,7 @@ def test_baked_render_matches_faithful_normals_mode():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_autodiff_normals_match_central():
     """The ~2-tap reverse-mode-AD normal equals the 6-tap central difference
     everywhere - including on surfaces whose gradient sign is flipped by a
@@ -116,6 +117,7 @@ def test_autodiff_normals_match_central():
         np.testing.assert_allclose(np.asarray(base), np.asarray(ad), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_bake_is_differentiable():
     """Gradients reach the image through the baked coefficients: d(image)/
     d(params) is finite and close to the faithful-geometry gradient."""
@@ -179,6 +181,7 @@ def test_tcull_march_matches_plain():
     assert float((d.max(axis=2) > 1e-2).mean()) < 0.01
 
 
+@pytest.mark.slow
 def test_analytic_unboxed_matches_oracle():
     """Opt-in analytic intersection of the guard-less shapes
     (megakernel analytic_unboxed, the round-3-validated semantic trade):

@@ -141,6 +141,7 @@ def test_detached_normals_value_identical_grad_finite(cs):
     )
 
 
+@pytest.mark.slow
 def test_remat_grad_identical(cs):
     """remat=True (jax.checkpoint on the bounce body) is a pure
     memory/recompute trade: value and gradient must match the non-remat

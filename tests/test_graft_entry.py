@@ -4,6 +4,7 @@ and the multi-chip dry run on the virtual mesh."""
 import sys
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, ".")
@@ -11,6 +12,7 @@ sys.path.insert(0, ".")
 import __graft_entry__ as graft  # noqa: E402
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
@@ -19,5 +21,6 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     graft.dryrun_multichip(8)

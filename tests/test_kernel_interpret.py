@@ -53,6 +53,7 @@ def test_kernel_matches_oracle_sphere_plane(debug):
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_kernel_matches_oracle_csg_demo():
     cs = compile_scene(csg_demo())
     _cmp(cs.spec, cs.params, 2)

@@ -4,6 +4,7 @@ parameter gradient must equal the single-chip gradient."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from compute_path_tracer_tpu.diff import make_loss
@@ -76,6 +77,7 @@ def test_sharded_session_frame_fn():
     np.testing.assert_array_equal(img_s, img_1)
 
 
+@pytest.mark.slow
 def test_psum_grad_matches_single_chip():
     cs = compile_scene(sphere_and_plane())
     mesh = make_mesh(8)
@@ -101,6 +103,7 @@ def test_psum_grad_matches_single_chip():
     np.testing.assert_allclose(grad_sharded, want, atol=1e-3 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_fast_config_matches_single_chip():
     """The bench configuration (Pallas megakernel, baked geometry, t-interval
     culling) sharded over the mesh must match the single-chip Pallas render
@@ -128,6 +131,7 @@ def test_sharded_pallas_fast_config_matches_single_chip():
     assert float((d.max(axis=2) > 1e-2).mean()) < 0.01
 
 
+@pytest.mark.slow
 def test_sharded_train_step_pallas_march_matches_oracle():
     """The distributed training step with the ON-CHIP march (kernels/march.py
     inside shard_map, implicit backward) must reproduce the oracle sharded
@@ -158,6 +162,7 @@ def test_sharded_train_step_pallas_march_matches_oracle():
     np.testing.assert_allclose(grad_p, grad_o, atol=5e-3 * scale, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_kernel_normals():
     """The fast-gradient distributed step (normals="kernel": in-kernel
     detached normals, kernels/march.py) must see the SAME loss as the
@@ -184,6 +189,7 @@ def test_sharded_train_step_kernel_normals():
     np.testing.assert_allclose(float(loss_f), float(loss_c), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_sharded_train_step_matches_single_chip():
     """The FUSED train kernel sharded over row bands (parallel/mesh.py:
     make_fused_sharded_train_step) must reproduce the single-chip fused
@@ -216,6 +222,7 @@ def test_fused_sharded_train_step_matches_single_chip():
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_sharded_analytic_matches_single_chip():
     """analytic_unboxed plumbs through the sharded fused step: per-band
     closed-form capping must reproduce the single-chip fused-analytic
