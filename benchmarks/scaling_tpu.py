@@ -15,7 +15,16 @@ n_params * 4 bytes - microseconds against v5e's ~1.6 TB/s aggregate ICI -
 so the >=90%-to-2-hosts BASELINE target hinges on the overhead measured
 here, not on bandwidth.
 
-Writes SCALING_r03.json.  Run: python benchmarks/scaling_tpu.py
+Writes SCALING_r04.json.  Run: python benchmarks/scaling_tpu.py
+
+Round-4 note: round 3 recorded a 6.25x sharded-FORWARD overhead here
+(SCALING_r03.json).  Round 4 could not reproduce it - a dedicated bisect
+(benchmarks/forward_shard_bisect.py, artifact
+benchmarks/artifacts/forward_shard_bisect_r04.json) measures every layer
+(plain planes call, jit wrapper, shard_map with/without axis_index, the
+shipped path) within noise of the direct call.  Best explanation:
+transient chip contention during the round-3 run (the same time-sharing
+failure mode conftest.py documents); the code path is unchanged.
 """
 
 import json
@@ -165,7 +174,7 @@ def main():
         },
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r03.json")
+        os.path.abspath(__file__))), "SCALING_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
