@@ -220,12 +220,14 @@ def bench_forward_analytic(cs):
     }
 
 
-def bench_fused(cs, analytic=False):
+def bench_fused(cs, analytic=False, edge=False):
     """The fused train step (kernels/train.py): forward render + per-pixel
     backward in one Pallas kernel, parameter scatters in XLA.  Gradient
     semantics = normals="detached" (the fast-training configuration).
     ``analytic=True`` additionally applies the analytic_unboxed semantic
-    trade (round 3: 475 -> 385 ms)."""
+    trade (round 3: 475 -> 385 ms).  ``edge=True`` adds the fused
+    PRIMARY-silhouette edge gradient (round 4) - the configuration that can
+    actually learn geometry."""
     import jax
     import numpy as np
 
@@ -234,7 +236,7 @@ def bench_fused(cs, analytic=False):
     target = np.zeros((HEIGHT, WIDTH, 3), np.float32)
     step = make_fused_value_and_grad(
         cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
-        analytic_unboxed=analytic,
+        analytic_unboxed=analytic, edge_grad=edge,
     )
     _, g = step(cs.params)
     np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
@@ -248,6 +250,8 @@ def bench_fused(cs, analytic=False):
     rays = WIDTH * HEIGHT * (BOUNCES + 1)
     value = rays / dt
     label = ", analytic_unboxed" if analytic else ""
+    if edge:
+        label += ", edge_grad"
     return {
         "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
         f"{N_PRIMS}-prim CSG, {BOUNCES} bounces, fused kernel "
@@ -304,6 +308,17 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
     except Exception as e:
         print(json.dumps({
             "metric": "fwd+bwd train-step rays/s/chip, fused kernel",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
+    # Round 4: the fused step WITH geometry (edge) gradients - the
+    # configuration inverse rendering actually needs; its delta vs the
+    # plain fused row is the cost of the in-march closest-approach
+    # tracking + the extra reduction segment.
+    try:
+        print(json.dumps(bench_fused(_CS, edge=True)), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd+bwd train-step rays/s/chip, fused + edge_grad",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
     if not os.environ.get("BENCH_SKIP_ANALYTIC"):

@@ -85,6 +85,9 @@ def main():
                          bounces=BOUNCES, spp=SPP, fov=FOV, edge_grad=False)
     loss_edge = make_loss(cs.spec, np.asarray(target), width=W, height=H,
                           bounces=BOUNCES, spp=SPP, fov=FOV, edge_grad=True)
+    loss_sec = make_loss(cs.spec, np.asarray(target), width=W, height=H,
+                         bounces=BOUNCES, spp=SPP, fov=FOV, edge_grad=True,
+                         edge_secondary=True)
 
     def fd(slot, eps):
         dp = np.zeros_like(np.asarray(pv))
@@ -94,6 +97,7 @@ def main():
 
     g_smooth = jax.grad(loss_spp)(pv)
     g_edge = jax.grad(loss_edge)(pv)
+    g_sec = jax.grad(loss_sec)(pv)
 
     rows = [
         ("secondary: occluder y", slot_occ_y, 0.1),
@@ -106,6 +110,7 @@ def main():
             "grad_fd_spp": fd(slot, eps),
             "grad_smooth_autodiff": float(g_smooth[slot]),
             "grad_edge_estimator": float(g_edge[slot]),
+            "grad_edge_secondary_estimator": float(g_sec[slot]),
             "loss": base, "spp": SPP,
         }), flush=True)
 

@@ -41,6 +41,8 @@ def optimize_to_target(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 0.5,
+    edge_secondary: bool = False,
+    edge_beta2: float = 0.5,
     march: str = "xla",
     fused: bool = False,
     interpret: Optional[bool] = None,
@@ -54,17 +56,19 @@ def optimize_to_target(
     flat-lit shape's POSITION, where smooth gradients are zero almost
     everywhere).  ``fused=True`` swaps the XLA value_and_grad for the fused
     train kernel (kernels/train.py: forward + per-pixel backward in one
-    Pallas kernel; detached-normal gradient semantics, spp=1, no edge
-    term) - the fast path for material/large-scene optimization.  Returns
+    Pallas kernel; detached-normal gradient semantics, spp=1; pass
+    ``edge_grad=True`` for the fused PRIMARY-silhouette term - without it
+    the fused step cannot learn geometry) - the fast path for
+    material/large-scene optimization.  Returns
     final params and the per-step loss trace.
     """
     if fused:
         from ..kernels.train import check_no_refraction, make_fused_value_and_grad
 
-        if edge_grad or spp != 1:
+        if spp != 1 or edge_secondary:
             raise ValueError(
-                "fused=True supports spp=1 without edge_grad; use the XLA "
-                "path for edge-gradient or multi-sample optimization"
+                "fused=True supports spp=1 without edge_secondary; use the "
+                "XLA path for multi-sample or secondary-edge optimization"
             )
         if not implicit or geometry != "faithful" or march != "xla":
             # The fused kernel has fixed semantics (baked geometry, on-chip
@@ -81,7 +85,7 @@ def optimize_to_target(
         check_no_refraction(spec, jnp.asarray(init_params, jnp.float32))
         vag = make_fused_value_and_grad(
             spec, target, width=width, height=height, bounces=bounces,
-            interpret=interpret,
+            interpret=interpret, edge_grad=edge_grad, edge_beta=edge_beta,
         )
         # Pin refract_chance at its (checked-zero) init: the fused model
         # cannot represent nonzero values (forward shades them as 0), so
@@ -100,7 +104,8 @@ def optimize_to_target(
         loss_fn = make_loss(
             spec, target, width=width, height=height, bounces=bounces,
             spp=spp, implicit=implicit, geometry=geometry,
-            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+            edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2, march=march,
         )
 
         def vag(params, frame=0):

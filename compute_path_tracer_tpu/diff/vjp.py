@@ -46,6 +46,12 @@ from ..vecmath import Vec3
 # grazing/degenerate hit where the implicit derivative blows up.
 _DENOM_EPS = 1e-6
 
+# Secondary-edge estimator: the respawn surface is excluded from closest-
+# approach tracking only for taps with t <= this (10x the OFFSET respawn
+# distance) - near-origin taps would floor the min at ~OFFSET, while
+# far taps skimming the surface's own edge are real self-occlusion edges.
+_EDGE_T_SELF = 0.3
+
 
 def make_implicit_cast(map_fn):
     """Build a drop-in ``cast_fn`` for path_trace with an O(1)-memory
@@ -117,7 +123,8 @@ def make_implicit_cast(map_fn):
     return cast_fn
 
 
-def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks):
+def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
+                   excl_tmax=None):
     """cast_ray's march additionally tracking the closest approach:
     ``(d_min, t_at_min, idx_at_min)`` over all map taps of live lanes.
 
@@ -125,6 +132,18 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks):
     so the discrete minimum is a tight estimate of the continuous
     closest-approach distance - the quantity whose zero-crossing IS the
     visibility edge.
+
+    ``excl`` (optional tuple of per-lane int32 shape ids) excludes taps whose
+    map winner is one of those ids from the closest-approach TRACKING (the
+    march itself is unchanged).  The secondary-bounce estimator passes the
+    segment's own hit id (otherwise every hit lane's minimum lands ~0 at its
+    own surface, drowning any occluder graze) and the surface the segment
+    respawned from (whose OFFSET-distance would otherwise floor the min).
+    ``excl_tmax`` (static, same length) limits an exclusion to taps with
+    ``t <= tmax``: the respawn surface is excluded only near the origin, so
+    a segment skimming its own emitter surface's EDGE at distance still
+    registers the graze (self-occlusion edges, e.g. a wall shadowing its
+    own far side).
     """
     from ..constants import FP as _FP, MHD as _MHD, STEPS as _STEPS
 
@@ -138,7 +157,15 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks):
         done = done_i != 0
         p = ro + rd * t
         d, mi = map_fn(Vec3(p.x, p.y, p.z), pv, checks)
-        better = jnp.logical_and(~done, d < d_min)
+        track = ~done
+        if excl is not None:
+            tmaxes = excl_tmax or (None,) * len(excl)
+            for e, tm in zip(excl, tmaxes):
+                skip = mi == e
+                if tm is not None:
+                    skip = skip & (t <= jnp.float32(tm))
+                track = track & ~skip
+        better = jnp.logical_and(track, d < d_min)
         d_min = jnp.where(better, d, d_min)
         t_min = jnp.where(better, t, t_min)
         i_min = jnp.where(better, mi, i_min)
@@ -156,7 +183,7 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks):
     return d_min, t_min, i_min
 
 
-def make_closest_approach(map_fn):
+def make_closest_approach(map_fn, excl_tmax=None):
     """``(ro, rd, pv, checks) -> (d_min, t_min, idx_min)`` with a Danskin
     (envelope-theorem) backward: at the along-ray minimum, d(d_min)/d(inputs)
     is the map's spatial/parameter gradient at the fixed argmin point
@@ -171,18 +198,18 @@ def make_closest_approach(map_fn):
     """
 
     @jax.custom_vjp
-    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks):
-        return _march_closest(map_fn, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z), pv, checks)
+    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl):
+        return _march_closest(map_fn, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z), pv, checks, excl, excl_tmax)
 
-    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks):
+    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl):
         ro = Vec3(ro_x, ro_y, ro_z)
         rd = Vec3(rd_x, rd_y, rd_z)
-        out = _march_closest(map_fn, ro, rd, pv, checks)
+        out = _march_closest(map_fn, ro, rd, pv, checks, excl, excl_tmax)
         d_min, t_min, i_min = out
-        return out, (ro, rd, t_min, pv, checks)
+        return out, (ro, rd, t_min, pv, checks, excl)
 
     def bwd(res, cots):
-        ro, rd, t_min, pv, checks = res
+        ro, rd, t_min, pv, checks, excl = res
         d_cot, _t_cot, _i_cot = cots
         p = ro + rd * t_min
 
@@ -197,13 +224,15 @@ def make_closest_approach(map_fn):
             None if c is None else np.zeros(c.shape, jax.dtypes.float0)
             for c in checks
         )
+        excl_cot = tuple(np.zeros(e.shape, jax.dtypes.float0) for e in excl)
         return (g.x, g.y, g.z, g.x * t_min, g.y * t_min, g.z * t_min,
-                pv_cot, checks_cot)
+                pv_cot, checks_cot, excl_cot)
 
     closest.defvjp(fwd, bwd)
 
-    def closest_fn(ro, rd, pv, checks):
-        return closest(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, pv, checks)
+    def closest_fn(ro, rd, pv, checks, excl=()):
+        return closest(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, pv, checks,
+                       tuple(excl))
 
     return closest_fn
 
@@ -224,6 +253,8 @@ def render_pixels_diff(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 0.5,
+    edge_secondary: bool = False,
+    edge_beta2: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -271,13 +302,33 @@ def render_pixels_diff(
     leaves the rendered VALUE bit-identical while d(col)/d(theta) gains
     sigma'(d_min) * proxy - the same estimator AA-jittered expectation
     converges to.  ``proxy`` is the pixel's own radiance on hit lanes and the
-    closest shape's emissive on miss lanes.  Secondary-bounce visibility
-    edges remain uncaptured (documented limitation).  ``edge_beta`` scales
+    closest shape's emissive on miss lanes.  ``edge_beta`` scales
     the coverage bandwidth in pixel-footprint units; the default 0.5 is
     CALIBRATED against the spp-averaged finite difference of the loss on
     the flat-lit-sphere scene (benchmarks/edge_calibration.py, artifact
     benchmarks/artifacts/edge_calibration_r03.jsonl: ratios 0.79-1.51
     across target offsets 0.1-0.3, vs 0.44-0.95 at the former beta=1).
+
+    ``edge_secondary=True`` (with ``edge_grad``) extends the estimator to
+    SECONDARY-bounce visibility edges - the term round 3 measured DOMINANT
+    on adversarial indirect lighting (benchmarks/secondary_edge.py: an
+    off-frustum occluder's shadow boundary carries 4.4x the primary
+    anchor's gradient, all invisible to the primary-only estimator).  Per
+    bounce b >= 1, the segment's closest-approach march re-runs with the
+    segment's own hit id and its respawn surface EXCLUDED from the min
+    tracking (otherwise every hit lane's minimum lands at its own surface,
+    drowning any occluder graze), and the coverage correction uses
+
+        proxy_b = thr_b * emissive(i_min_b) - (col - ret_before_b)
+
+    - the downstream radiance the lane would trade for the graze shape's
+    emission if the edge flipped to a hit.  Values stay bit-identical (the
+    correction is ``c - stop_grad(c)`` as for the primary term); cost is
+    one extra closest-approach march per bounce.  ``edge_beta2`` is the
+    secondary bandwidth scale (same footprint formula), calibrated on the
+    adversarial occluder scene (benchmarks/secondary_edge.py, artifact
+    secondary_edge_r04.jsonl).  Self-shadowing by the respawn surface
+    itself is excluded by construction (documented limitation).
     """
     if not implicit:
         return render_pixels(
@@ -355,10 +406,18 @@ def render_pixels_diff(
                 map_fn_, Vec3(sg(p.x), sg(p.y), sg(p.z)), sg(pv_), checks_
             )
             return Vec3(sg(n.x), sg(n.y), sg(n.z))
-    col, _ = _ref.path_trace(
-        map_fn, bounds_fn, gather_mat, ro, rd, gv, rng, bounces,
-        cast_fn=cast_fn, normal_fn=normal_fn, remat=remat,
-    )
+    collect = edge_grad and edge_secondary
+    if collect:
+        col, _, segs = _ref.path_trace(
+            map_fn, bounds_fn, gather_mat, ro, rd, gv, rng, bounces,
+            cast_fn=cast_fn, normal_fn=normal_fn, remat=remat,
+            collect_segments=True,
+        )
+    else:
+        col, _ = _ref.path_trace(
+            map_fn, bounds_fn, gather_mat, ro, rd, gv, rng, bounces,
+            cast_fn=cast_fn, normal_fn=normal_fn, remat=remat,
+        )
     if edge_grad:
         from ..constants import MHD
         from ..vecmath import vwhere
@@ -382,15 +441,44 @@ def render_pixels_diff(
             Vec3(*[lax.stop_gradient(a) for a in (proxy_emit.x, proxy_emit.y, proxy_emit.z)]),
         )
         corr = c - lax.stop_gradient(c)
-        col = col + proxy * corr
+        edge_corr = proxy * corr
+        if collect:
+            sg = lax.stop_gradient
+            seg_ro, seg_rd, seg_thr, seg_ret, seg_alive, _seg_t, seg_idx = segs
+            closest_fn2 = make_closest_approach(
+                map_fn, excl_tmax=(None, _EDGE_T_SELF))
+            inv_foot = 2.0 * edge_beta2 / (height * sg(fov))
+            for b in range(1, bounces + 1):
+                ro_b = Vec3(seg_ro.x[b], seg_ro.y[b], seg_ro.z[b])
+                rd_b = Vec3(seg_rd.x[b], seg_rd.y[b], seg_rd.z[b])
+                excl = (sg(seg_idx[b]), sg(seg_idx[b - 1]))
+                checks_b, _ = bounds_fn(ro_b, rd_b, gv)
+                d_b, t_b, i_b = closest_fn2(ro_b, rd_b, gv, checks_b, excl)
+                beta_b = jnp.maximum(sg(t_b), 0.2) * inv_foot
+                c_b = jax.nn.sigmoid((MHD - d_b) / beta_b)
+                mat_b = gather_mat(i_b)
+                emit_b = mat_b.light.normalize_safe() * mat_b.brightness
+                thr_b = Vec3(sg(seg_thr.x[b]), sg(seg_thr.y[b]),
+                             sg(seg_thr.z[b]))
+                rem_b = Vec3(sg(col.x - seg_ret.x[b]),
+                             sg(col.y - seg_ret.y[b]),
+                             sg(col.z - seg_ret.z[b]))
+                proxy_b = Vec3(sg(thr_b.x * emit_b.x) - rem_b.x,
+                               sg(thr_b.y * emit_b.y) - rem_b.y,
+                               sg(thr_b.z * emit_b.z) - rem_b.z)
+                gate = ((seg_alive[b] != 0) & (i_b >= 0)).astype(jnp.float32)
+                corr_b = (c_b - sg(c_b)) * gate
+                edge_corr = edge_corr + proxy_b * corr_b
+        col = col + edge_corr
     return col
 
 
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "spp", "implicit",
-                     "geometry", "edge_grad", "edge_beta", "march",
-                     "march_interpret", "normals", "remat"),
+                     "geometry", "edge_grad", "edge_beta", "edge_secondary",
+                     "edge_beta2", "march", "march_interpret", "normals",
+                     "remat"),
 )
 def render_image_diff(
     spec: SceneSpec,
@@ -406,6 +494,8 @@ def render_image_diff(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 0.5,
+    edge_secondary: bool = False,
+    edge_beta2: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -423,7 +513,8 @@ def render_image_diff(
             spec, params, xs, ys, f, bounces,
             jnp.float32(fov), jnp.float32(aspect),
             width=width, height=height, implicit=implicit, geometry=geometry,
-            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+            edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2, march=march,
             march_interpret=march_interpret, normals=normals, remat=remat,
         ).stack()
 
@@ -446,6 +537,8 @@ def make_loss(
     geometry: str = "faithful",
     edge_grad: bool = False,
     edge_beta: float = 0.5,
+    edge_secondary: bool = False,
+    edge_beta2: float = 0.5,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -458,7 +551,8 @@ def make_loss(
         img = render_image_diff(
             spec, params, width=width, height=height, bounces=bounces,
             spp=spp, fov=fov, implicit=implicit, geometry=geometry,
-            edge_grad=edge_grad, edge_beta=edge_beta, march=march,
+            edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2, march=march,
             march_interpret=march_interpret, normals=normals, remat=remat,
         )
         return jnp.mean((img - target) ** 2)

@@ -153,11 +153,17 @@ def _make_analytic_unboxed(spec: SceneSpec):
     on the primary march): these shapes cost a map evaluation at EVERY tap
     of EVERY lane, yet a half-space and a sphere intersect a ray exactly.
 
-    Returns ``(cap_fn, normal_fn)``:
+    Returns ``(cap_fn, normal_fn, closest_fn)``:
     ``cap_fn(ro, rd, bv) -> (t_cap, cap_idx)`` - each lane's nearest
     analytic hit (BIG when none) and its shape id;
     ``normal_fn(p, cap_idx, bv) -> Vec3`` - the exact surface normal of
-    the capped shape (plane: its unit gradient n; sphere: (p - c)/|p - c|).
+    the capped shape (plane: its unit gradient n; sphere: (p - c)/|p - c|);
+    ``closest_fn(ro, rd, bv) -> (d_ca, t_ca, idx_ca)`` - the continuous
+    closest-approach signed distance of the unboxed SPHERES (negative when
+    the ray pierces), feeding the fused edge estimator: with skip_unboxed
+    these shapes never appear in the march's map taps, so their silhouettes
+    would otherwise be invisible to the d_min tracking.  Infinite planes
+    are skipped (their only visibility edge is the measure-zero horizon).
 
     Only plane/sphere guard-less shapes are supported (the library's only
     uses); the caller validates.
@@ -220,11 +226,41 @@ def _make_analytic_unboxed(spec: SceneSpec):
             n = vwhere(won, cand, n)
         return n
 
-    return cap_fn, normal_fn
+    def closest_fn(ro, rd, bv):
+        from ..scene.model import KIND_SPHERE as _KS
+
+        d_ca = jnp.full_like(ro.x, _BIG)
+        t_ca = jnp.zeros_like(ro.x)
+        i_ca = jnp.full(ro.x.shape, -1, jnp.int32)
+        for bs in unboxed:
+            if bs.kind != _KS:
+                continue
+            o = bs.off
+            ocx = ro.x - bv[o]
+            ocy = ro.y - bv[o + 1]
+            ocz = ro.z - bv[o + 2]
+            r = bv[o + 3]
+            b = ocx * rd.x + ocy * rd.y + ocz * rd.z
+            t = -b  # along-ray closest point (|rd| == 1)
+            perp2 = jnp.maximum(ocx * ocx + ocy * ocy + ocz * ocz - b * b,
+                                0.0)
+            d = jnp.sqrt(perp2) - r
+            # Behind-the-origin closest points: use the origin's distance.
+            d0 = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz) - r
+            d = jnp.where(t > 0.0, d, d0)
+            t = jnp.maximum(t, 0.0)
+            closer = d < d_ca
+            d_ca = jnp.where(closer, d, d_ca)
+            t_ca = jnp.where(closer, t, t_ca)
+            i_ca = jnp.where(closer, bs.shape_id, i_ca)
+        return d_ca, t_ca, i_ca
+
+    return cap_fn, normal_fn, closest_fn
 
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
-                       with_stats=False, omega=1.0, t_cap=None):
+                       with_stats=False, omega=1.0, t_cap=None,
+                       with_closest=False):
     """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -264,9 +300,17 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     every parity benchmark.
 
     Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
+
+    ``with_closest=True`` (faithful omega only) additionally tracks the
+    closest approach over the culled-map taps of live lanes -
+    ``(d_min, t_at_min)``, the visibility-edge estimator's input
+    (diff/vjp.py:_march_closest, here fused into the same march) - and
+    returns ``(t, t_prev, d_min, t_min)``.
     """
     t0 = ro.x * 0.0
     relax = float(omega) != 1.0
+    if with_closest and (relax or with_stats):
+        raise ValueError("with_closest requires omega=1.0, with_stats=False")
     # Lanes already dead in the bounce loop start the march done: their
     # frozen rays must neither extend the while_loop nor widen the t-front.
     done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
@@ -278,6 +322,8 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     def body(c):
         if relax:
             step, t, tp, done_i, d_prev, s_prev, f_prev, actacc = c
+        elif with_closest:
+            step, t, tp, done_i, actacc, d_min, t_min = c
         else:
             step, t, tp, done_i, actacc = c
         done = done_i != 0
@@ -306,6 +352,10 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
         ad = jnp.abs(d)
         clamp = jnp.maximum(m - t, MHD)
         if not relax:
+            if with_closest:
+                better = (~done) & (d < d_min)
+                d_min = jnp.where(better, d, d_min)
+                t_min = jnp.where(better, t, t_min)
             step_len = jnp.minimum(ad, clamp)
             nt = jnp.where(done, t, t + step_len)
             if t_cap is not None:
@@ -317,6 +367,9 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
             ndone = done | (ad < MHD) | (nt > FP)
             if t_cap is not None:
                 ndone = ndone | (nt >= t_cap)
+            if with_closest:
+                return (step + 1, nt, ntp, ndone.astype(jnp.int32), actacc,
+                        d_min, t_min)
             return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
         # Overlap check on SIGNED distances: a stretched step is only valid
         # if the unbounding spheres overlap, s_prev <= d_prev + d; signed d
@@ -354,6 +407,12 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     if relax:
         init = (jnp.int32(0), t0, t0, done0, t0, t0, t0, jnp.float32(0.0))
         steps, t, tp, _, _, _, _, actacc = lax.while_loop(cond, body, init)
+    elif with_closest:
+        init = (jnp.int32(0), t0, t0, done0, jnp.float32(0.0),
+                t0 + jnp.float32(_BIG), t0)
+        steps, t, tp, _, actacc, d_min, t_min = lax.while_loop(
+            cond, body, init)
+        return t, tp, d_min, t_min
     else:
         init = (jnp.int32(0), t0, t0, done0, jnp.float32(0.0))
         steps, t, tp, _, actacc = lax.while_loop(cond, body, init)

@@ -165,8 +165,18 @@ def _segment_matmul(seg_idx, cot, n_shapes):
 
 def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                        bounces: int, tile_h: int, tile_w: int,
-                       winner_geom: bool, analytic_unboxed: bool = False):
+                       winner_geom: bool, analytic_unboxed: bool = False,
+                       edge_grad: bool = False, edge_beta: float = 0.5):
     B1 = bounces + 1
+    # With edge gradients the kernel emits one extra pseudo-segment (row B1)
+    # carrying the PRIMARY-silhouette coverage term: per pixel, the closest
+    # approach of the bounce-0 march drives seed w = -dL.proxy * sigma'/beta
+    # on the nearest shape's leaf partials at the argmin point - the fused
+    # realization of diff/vjp.py's detached soft-coverage estimator (same
+    # beta formula and calibrated default).  Without it the fused trainer is
+    # blind to geometry: this shading model's smooth geometry gradient is
+    # structurally zero (ROADMAP round-3 finding #2).
+    B1E = B1 + 1 if edge_grad else B1
     analytic = None
     if analytic_unboxed:
         from ..scene.model import KIND_PLANE, KIND_SPHERE
@@ -235,8 +245,18 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
         one = zero + 1.0
 
         # ---- phase 1: forward bounce loop, storing per-segment state ----
+        # With edge_grad the march additionally tracks the closest approach
+        # (with_closest) on EVERY bounce and the loop carry keeps bounce 0's
+        # planes via a b==0 select.  Peeling bounce 0 out of the fori_loop
+        # would be cheaper, but the distance-only march fold Mosaic-fails
+        # layout inference when invoked outside the bounce loop (the known
+        # relayout workaround documented at megakernel._march_while_ids) -
+        # observed again on this exact peel in round 4.
         def fwd_body(b, carry):
-            rng, ro, rd, thr, ret, alive_i = carry
+            if edge_grad:
+                rng, ro, rd, thr, ret, alive_i, e_dmin, e_tmin = carry
+            else:
+                rng, ro, rd, thr, ret, alive_i = carry
             alive = alive_i != 0
 
             checks, tns, tfs, _dbg = bounds_fn(ro, rd, bv)
@@ -246,8 +266,16 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 t_cap, cap_idx = analytic[0](ro, rd, bv)
             else:
                 t_cap = cap_idx = None
-            t, tp = _march_while_tcull(map_d, ro, rd, bv, checks, ivals,
-                                       alive=alive, t_cap=t_cap)
+            if edge_grad:
+                t, tp, d_min, t_min = _march_while_tcull(
+                    map_d, ro, rd, bv, checks, ivals, alive=alive,
+                    t_cap=t_cap, with_closest=True)
+                keep = b == 0
+                e_dmin = jnp.where(keep, d_min, e_dmin)
+                e_tmin = jnp.where(keep, t_min, e_tmin)
+            else:
+                t, tp = _march_while_tcull(map_d, ro, rd, bv, checks, ivals,
+                                           alive=alive, t_cap=t_cap)
 
             miss = t > FP
             act = alive & ~miss
@@ -320,11 +348,38 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             p_pos = p_rr > 0.0
             inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
             thr2 = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
+            if edge_grad:
+                return (rng3, ro2, rd2, thr2, ret2, surv.astype(jnp.int32),
+                        e_dmin, e_tmin)
             return rng3, ro2, rd2, thr2, ret2, surv.astype(jnp.int32)
 
         init = (rng0, ro0, rd0, Vec3(one, one, one), Vec3(zero, zero, zero),
                 one.astype(jnp.int32))
-        _, _, _, _, ret, _ = lax.fori_loop(0, B1, fwd_body, init)
+        if edge_grad:
+            init = init + (zero + jnp.float32(_BIG), zero)
+            out = lax.fori_loop(0, B1, fwd_body, init)
+            ret, edge_dmin, edge_tmin = out[4], out[6], out[7]
+            # Edge-estimator id recovery OUTSIDE the loop: the primary ray
+            # (ro0, rd0) is loop-invariant, so bounce 0's bounds/anyhit set
+            # can be recomputed here and the argmin tap's winner id read
+            # with one extra map tap.  Guard-less spheres removed from the
+            # map by analytic_unboxed get their exact closed-form closest
+            # approach folded in (they are invisible to the tracking).
+            checks0, tns0, tfs0, _dbg0 = bounds_fn(ro0, rd0, bv)
+            ivals0 = _interval_scalars(checks0, tns0, tfs0)
+            anyhit0 = tuple(None if iv is None else iv[0] for iv in ivals0)
+            _d_at_min, edge_imin = map_ids(ro0 + rd0 * edge_tmin, bv,
+                                           checks0, anyhit0)
+            edge_imin = jnp.where(edge_dmin < jnp.float32(0.5 * _BIG),
+                                  edge_imin, -1)
+            if analytic is not None:
+                d_ca, t_ca, i_ca = analytic[2](ro0, rd0, bv)
+                closer = d_ca < edge_dmin
+                edge_imin = jnp.where(closer, i_ca, edge_imin)
+                edge_tmin = jnp.where(closer, t_ca, edge_tmin)
+                edge_dmin = jnp.where(closer, d_ca, edge_dmin)
+        else:
+            _, _, _, _, ret, _ = lax.fori_loop(0, B1, fwd_body, init)
 
         for c, comp in enumerate(ret):
             col_ref[c] = comp
@@ -345,6 +400,34 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             refract_chance=zero, refract_roughness=zero,
             refract_col=Vec3(zero, zero, zero),
         )
+
+        def winner_leaf_channels(hit_pts, idx_plane, seed_plane):
+            """Per-pixel parameter partials of each winner leaf: vjp each
+            leaf's elementwise distance w.r.t. per-pixel BROADCAST slot
+            copies (no cross-lane scatter), seeded with the winner-masked
+            seed plane, gated by a tile-uniform 'any lane won' cond."""
+            ch = tuple(zero for _ in range(GEOM_CHANNELS))
+            for bs in leaf_shapes:
+                nsl = _GEOM_SLOTS[bs.kind]
+                won = idx_plane == bs.shape_id
+                any_w = jnp.max(won.astype(jnp.int32)) > 0
+
+                def compute(chs, bs=bs, nsl=nsl, won=won):
+                    seed = jnp.where(won, seed_plane, 0.0)
+                    slots = tuple(zero + bv[bs.off + c] for c in range(nsl))
+
+                    def f(*sl):
+                        return leaf_distance_from_planes(bs.kind, hit_pts, sl)
+
+                    _, leaf_vjp = jax.vjp(f, *slots)
+                    parts = leaf_vjp(seed)
+                    out = list(chs)
+                    for c in range(nsl):
+                        out[c] = out[c] + parts[c]
+                    return tuple(out)
+
+                ch = lax.cond(any_w, compute, lambda chs: chs, ch)
+            return ch
 
         ro_c = Vec3(zero, zero, zero)
         rd_c = Vec3(zero, zero, zero)
@@ -407,37 +490,44 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             if winner_geom:
                 # Winner-leaf parameter partials: per pixel, the f_theta
                 # cotangent of a union-only map flows only through the
-                # argmin leaf - vjp each leaf's elementwise distance w.r.t.
-                # per-pixel BROADCAST slot copies (no cross-lane scatter),
-                # seeded with the winner-masked scale plane, gated by a
-                # tile-uniform "any lane won this shape" cond.
-                hit_b = ro_b + rd_b * t_b
-                ch = tuple(zero for _ in range(GEOM_CHANNELS))
-                for bs in leaf_shapes:
-                    nsl = _GEOM_SLOTS[bs.kind]
-                    won = idx_b == bs.shape_id
-                    any_w = jnp.max(won.astype(jnp.int32)) > 0
-
-                    def compute(chs, bs=bs, nsl=nsl, won=won, hit_b=hit_b,
-                                scale_b=scale_b):
-                        seed = jnp.where(won, scale_b, 0.0)
-                        slots = tuple(zero + bv[bs.off + c]
-                                      for c in range(nsl))
-
-                        def f(*sl):
-                            return leaf_distance_from_planes(
-                                bs.kind, hit_b, sl)
-
-                        _, leaf_vjp = jax.vjp(f, *slots)
-                        parts = leaf_vjp(seed)
-                        out = list(chs)
-                        for c in range(nsl):
-                            out[c] = out[c] + parts[c]
-                        return tuple(out)
-
-                    ch = lax.cond(any_w, compute, lambda chs: chs, ch)
+                # argmin leaf (a min-fold's vjp).
+                ch = winner_leaf_channels(ro_b + rd_b * t_b, idx_b, scale_b)
                 for c in range(GEOM_CHANNELS):
                     geom_cot_ref[b, c] = ch[c]
+
+        if edge_grad:
+            # Primary-silhouette coverage term (diff/vjp.py edge_grad
+            # semantics, fused): c = sigmoid((MHD - d_min)/beta) with the
+            # calibrated pixel-footprint bandwidth; the chain
+            # dL/dtheta += dL.proxy * dc/dd_min * dd_min/dtheta collapses
+            # to seeding the argmin shape's leaf partials (winner mode) or
+            # the batched map vjp (fallback) with
+            # w = -dL.proxy * sigma'(z) / beta at the argmin point.
+            beta = jnp.maximum(edge_tmin, 0.2) * (
+                jnp.float32(2.0 * edge_beta / height) / fov)
+            z = (jnp.float32(MHD) - edge_dmin) / beta
+            cvg = jax.nn.sigmoid(z)
+            sig_p = cvg * (1.0 - cvg)
+            mat_min = gather_mat(edge_imin)
+            emit_min = mat_min.light.normalize_safe() * mat_min.brightness
+            hitp = edge_dmin < MHD
+            proxy = vwhere(hitp, ret, emit_min)
+            w = -(col_cot.x * proxy.x + col_cot.y * proxy.y
+                  + col_cot.z * proxy.z) * sig_p / beta
+            w = jnp.where(edge_imin >= 0, w, 0.0)
+            ebs = pl.ds(B1, 1)
+            seg_idx_ref[ebs] = edge_imin[None]
+            if winner_geom:
+                ch = winner_leaf_channels(ro0 + rd0 * edge_tmin, edge_imin, w)
+                for c in range(GEOM_CHANNELS):
+                    geom_cot_ref[B1, c] = ch[c]
+            else:
+                for c, comp in enumerate(ro0):
+                    seg_ro_ref[ebs, c] = comp[None]
+                for c, comp in enumerate(rd0):
+                    seg_rd_ref[ebs, c] = comp[None]
+                seg_t_ref[ebs] = edge_tmin[None]
+                seg_scale_ref[ebs] = w[None]
 
     return kernel
 
@@ -445,13 +535,15 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "bounces", "tile_h", "tile_w",
-                     "interpret", "winner_geom", "analytic_unboxed"),
+                     "interpret", "winner_geom", "analytic_unboxed",
+                     "edge_grad", "edge_beta"),
 )
 def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   row_offset, y_limit, *, width, height, bounces, tile_h,
                   tile_w, interpret, winner_geom=False,
-                  analytic_unboxed=False):
+                  analytic_unboxed=False, edge_grad=False, edge_beta=0.5):
     B1 = bounces + 1
+    B1E = B1 + 1 if edge_grad else B1
     ph, pw = target_planes.shape[1], target_planes.shape[2]
     grid = (ph // tile_h, pw // tile_w)
     iparams = jnp.stack([jnp.asarray(frame, jnp.int32),
@@ -462,32 +554,33 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                          jnp.asarray(aspect, jnp.float32), seed_scale])
 
     kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w,
-                                winner_geom, analytic_unboxed)
+                                winner_geom, analytic_unboxed, edge_grad,
+                                edge_beta)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def tile3(c):
         return pl.BlockSpec((c, tile_h, tile_w), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
-    def tile4(c):
-        return pl.BlockSpec((B1, c, tile_h, tile_w),
+    def tile4(c, b=B1):
+        return pl.BlockSpec((b, c, tile_h, tile_w),
                             lambda i, j: (0, 0, i, j),
                             memory_space=pltpu.VMEM)
 
-    def tileb():
-        return pl.BlockSpec((B1, tile_h, tile_w), lambda i, j: (0, i, j),
+    def tileb(b=B1):
+        return pl.BlockSpec((b, tile_h, tile_w), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
     if winner_geom:
         out_shape = (
             jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
-            jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
+            jax.ShapeDtypeStruct((B1E, ph, pw), jnp.int32),    # seg_idx
             jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
-            jax.ShapeDtypeStruct((B1, GEOM_CHANNELS, ph, pw), f32),
+            jax.ShapeDtypeStruct((B1E, GEOM_CHANNELS, ph, pw), f32),
         )
-        out_specs = (tile3(3), tileb(), tile4(len(_MAT_CHANNELS)),
-                     tile4(GEOM_CHANNELS))
+        out_specs = (tile3(3), tileb(B1E), tile4(len(_MAT_CHANNELS)),
+                     tile4(GEOM_CHANNELS, B1E))
         seg_scratch = [
             pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_ro
             pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_rd
@@ -497,15 +590,15 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
     else:
         out_shape = (
             jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
-            jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_ro
-            jax.ShapeDtypeStruct((B1, 3, ph, pw), f32),        # seg_rd
-            jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_t
-            jax.ShapeDtypeStruct((B1, ph, pw), jnp.int32),     # seg_idx
-            jax.ShapeDtypeStruct((B1, ph, pw), f32),           # seg_scale
+            jax.ShapeDtypeStruct((B1E, 3, ph, pw), f32),       # seg_ro
+            jax.ShapeDtypeStruct((B1E, 3, ph, pw), f32),       # seg_rd
+            jax.ShapeDtypeStruct((B1E, ph, pw), f32),          # seg_t
+            jax.ShapeDtypeStruct((B1E, ph, pw), jnp.int32),    # seg_idx
+            jax.ShapeDtypeStruct((B1E, ph, pw), f32),          # seg_scale
             jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
         )
-        out_specs = (tile3(3), tile4(3), tile4(3), tileb(), tileb(), tileb(),
-                     tile4(len(_MAT_CHANNELS)))
+        out_specs = (tile3(3), tile4(3, B1E), tile4(3, B1E), tileb(B1E),
+                     tileb(B1E), tileb(B1E), tile4(len(_MAT_CHANNELS)))
         seg_scratch = []
     scratch = seg_scratch + [
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # thr
@@ -537,12 +630,14 @@ def _pad_planes(x, th, tw):
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "crop_h", "bounces", "tile_h",
-                     "tile_w", "interpret", "analytic_unboxed"),
+                     "tile_w", "interpret", "analytic_unboxed", "edge_grad",
+                     "edge_beta"),
 )
 def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
                              aspect, row_offset, *, width, height, crop_h,
                              bounces, tile_h, tile_w, interpret,
-                             analytic_unboxed=False):
+                             analytic_unboxed=False, edge_grad=False,
+                             edge_beta=0.5):
     """Band-shardable core: renders the rows [row_offset, row_offset+crop_h)
     of the global (height, width) image (``target_planes`` covers just that
     band, padded to tiles) and returns the band's summed squared error, its
@@ -556,6 +651,7 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         width=width, height=height, bounces=bounces,
         tile_h=tile_h, tile_w=tile_w, interpret=interpret,
         winner_geom=winner_geom, analytic_unboxed=analytic_unboxed,
+        edge_grad=edge_grad, edge_beta=edge_beta,
     )
     if winner_geom:
         col, seg_idx, mat_cot, geom_cot = outs
@@ -629,6 +725,8 @@ def make_fused_value_and_grad(
     interpret: bool = False,
     with_image: bool = False,
     analytic_unboxed: bool = False,
+    edge_grad: bool = False,
+    edge_beta: float = 0.5,
 ):
     """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE
     between the rendered frame and ``target`` and grad is d loss / d params -
@@ -638,6 +736,16 @@ def make_fused_value_and_grad(
     ``march="pallas", normals="detached", geometry="baked"`` (see module
     docstring for the two documented deviations).  ``with_image=True``
     additionally returns the rendered (H, W, 3) image.
+
+    ``edge_grad=True`` adds the PRIMARY-silhouette visibility gradient
+    (diff/vjp.py's calibrated soft-coverage estimator, fused: the closest
+    approach is tracked inside the bounce-0 march and the coverage seed
+    rides the existing winner-leaf / map-vjp reductions as one extra
+    segment row).  Without it the fused trainer cannot learn geometry at
+    all - this shading model's smooth geometry gradient is structurally
+    zero (ROADMAP round-3 finding #2).  The loss/image values are
+    unchanged; only the gradient gains the term.  Secondary-bounce edges
+    remain XLA-path-only (render_pixels_diff edge_secondary=True).
     """
     if aspect is None:
         aspect = width / height
@@ -657,6 +765,7 @@ def make_fused_value_and_grad(
             jnp.float32(aspect), jnp.int32(0), width=width, height=height,
             crop_h=height, bounces=bounces, tile_h=th, tile_w=tw,
             interpret=interpret, analytic_unboxed=analytic_unboxed,
+            edge_grad=edge_grad, edge_beta=edge_beta,
         )
         loss = sse * inv_n
         if with_image:

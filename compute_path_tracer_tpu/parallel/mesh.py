@@ -402,6 +402,8 @@ def make_fused_sharded_train_step(
     tile=None,
     interpret: bool = None,
     analytic_unboxed: bool = False,
+    edge_grad: bool = False,
+    edge_beta: float = 0.5,
 ):
     """Distributed training step over the FUSED kernel (kernels/train.py):
     each chip runs the forward+per-pixel-backward kernel on its row band
@@ -449,6 +451,7 @@ def make_fused_sharded_train_step(
             jnp.float32(aspect), row0, width=width, height=height,
             crop_h=band_h, bounces=bounces, tile_h=th, tile_w=tw,
             interpret=interpret, analytic_unboxed=analytic_unboxed,
+            edge_grad=edge_grad, edge_beta=edge_beta,
         )
         return lax.psum(sse, TILE_AXIS), lax.psum(grad, TILE_AXIS)
 

@@ -241,7 +241,8 @@ def shade_bounce(rng, rd: Vec3, hit_pos: Vec3, n: Vec3, mat):
 
 
 def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounces,
-               cast_fn=None, normal_fn=None, remat=False):
+               cast_fn=None, normal_fn=None, remat=False,
+               collect_segments=False):
     """Monte-Carlo bounce loop (test_compute.glsl:91-166).
 
     Runs ``bounces + 1`` iterations (the GLSL loop is ``i <= s.bounces``) with
@@ -260,6 +261,14 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
     ~16-plane carry per segment instead of every internal intermediate,
     trading a forward recompute for HBM residual traffic - at 1080p the
     taped residuals, not the FLOPs, bound the training step.
+
+    ``collect_segments=True`` (requires a static ``bounces``) additionally
+    returns per-bounce ray-segment state stacked on a leading (bounces+1)
+    axis: ``(ro, rd, thr, ret_before, alive, t, idx)`` where the first five
+    are the state ENTERING bounce b and ``t``/``idx`` are bounce b's march
+    result - the inputs the per-bounce visibility-edge estimator needs
+    (diff/vjp.py).  The stacked values stay differentiable (a secondary
+    segment's origin moves with the previous bounce's hit point).
     """
     if cast_fn is None:
         cast_fn = cast_ray
@@ -279,12 +288,13 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
         zero.astype(jnp.int32) - 1,  # i_exit (-1 = still running)
     )
 
-    def body(i, carry):
+    def body_seg(i, carry):
         rng, ro, rd, ret, thr, alive_i, i_exit = carry
         alive = alive_i != 0
 
         checks, _dbg = bounds_fn(ro, rd, pv)
         t, idx = cast_fn(map_fn, ro, rd, pv, checks)
+        seg = (ro, rd, thr, ret, alive_i, t, idx)
 
         miss = t > FP
         i_exit = jnp.where(alive & miss, i, i_exit)
@@ -317,8 +327,19 @@ def path_trace(map_fn, bounds_fn, gather_mat, ro: Vec3, rd: Vec3, pv, rng, bounc
         inv_p = jnp.where(p_pos, 1.0 / jnp.where(p_pos, p_rr, 1.0), 0.0)
         thr = vwhere(surv, new_thr * inv_p, vwhere(act, new_thr, thr))
 
-        return rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit
+        return (rng, ro, rd, ret, thr, surv.astype(jnp.int32), i_exit), seg
 
+    def body(i, carry):
+        return body_seg(i, carry)[0]
+
+    if collect_segments:
+        carry, segs = lax.scan(
+            lambda c, i: body_seg(i, c), init,
+            jnp.arange(bounces + 1, dtype=jnp.int32),
+        )
+        _, _, _, ret, _, _, i_exit = carry
+        i_exit = jnp.where(i_exit < 0, bounces + 1, i_exit)
+        return ret, i_exit, segs
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
     _, _, _, ret, _, _, i_exit = lax.fori_loop(0, bounces + 1, body, init)

@@ -94,6 +94,7 @@ def test_edge_grad_matches_finite_difference_sign_and_scale(cs):
     assert 0.2 < abs(g) / abs(fd) < 5.0, (g, fd)
 
 
+@pytest.mark.slow
 def test_edge_grad_calibrated_magnitude(cs):
     """Calibrated-band check: against the quantity the estimator actually
     models - the derivative of the spp-AVERAGED (AA-jitter expectation)
@@ -149,3 +150,80 @@ def test_edge_grad_recovers_position(cs):
         learning_rate=2e-2, param_mask=mask, edge_grad=False,
     )
     assert abs(float(frozen.params[s]) - p_init[s]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Secondary-bounce visibility edges (edge_secondary=True)
+# ---------------------------------------------------------------------------
+
+def _occluder_scene():
+    """The adversarial indirect-lighting scene of
+    benchmarks/secondary_edge.py: the camera sees only a diffuse wall; an
+    emissive sphere and an occluding cube sit outside the frustum, so the
+    only light is one bounce wall -> emitter partially blocked by the
+    occluder - moving the occluder sweeps a SECONDARY silhouette that the
+    primary-only estimator measures as exactly zero."""
+    from compute_path_tracer_tpu.scene import KIND_CUBE
+
+    root = Union(name="Root")
+    wall = root.add_shape(Shape(KIND_CUBE, name="Wall"))
+    wall.size3.set(1.5, 1.5, 0.05)
+    wall.transform.position.set(0.0, 0.0, 1.5)
+    wall.material.color.set(0.7, 0.7, 0.7)
+    emit = root.add_shape(Shape(KIND_SPHERE, name="Emitter"))
+    emit.size.set(1.0)
+    emit.transform.position.set(-3.5, 0.0, 0.3)
+    emit.material.color.set(0.0, 0.0, 0.0)
+    emit.material.brightness.set(40.0)
+    emit.material.light_col.set(1.0, 1.0, 1.0)
+    occ = root.add_shape(Shape(KIND_CUBE, name="Occluder"))
+    occ.size3.set(0.05, 0.75, 1.5)
+    occ.transform.position.set(-2.0, 0.75, 0.75)
+    occ.material.color.set(0.02, 0.02, 0.02)
+    return Scene([root])
+
+
+def test_edge_secondary_value_unchanged():
+    """The per-bounce coverage correction is c - stop_grad(c): rendered
+    values must be BIT-identical with and without edge_secondary."""
+    cs2 = compile_scene(_occluder_scene())
+    pv = jnp.asarray(cs2.params)
+    kw = dict(width=16, height=16, bounces=1, fov=3.0)
+    a = np.asarray(render_image_diff(cs2.spec, pv, **kw))
+    b = np.asarray(render_image_diff(cs2.spec, pv, edge_grad=True,
+                                     edge_secondary=True, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_edge_secondary_recovers_occluder_gradient():
+    """Round-3 verdict item #1: on the adversarial occluder scene the
+    secondary estimator must recover the spp-averaged finite-difference
+    gradient of the off-frustum occluder's position within 2x (round-4
+    measurement: FD +0.814, estimator +0.629 at this configuration), while
+    smooth autodiff and the primary-only estimator report ~zero."""
+    cs2 = compile_scene(_occluder_scene())
+    pv = jnp.asarray(cs2.params, jnp.float32)
+    slot_occ = cs2.spec.roots[0].children_shapes[2].transform.pos[1]
+    tgt = np.zeros((32, 32, 3), np.float32)
+    kw = dict(width=32, height=32, bounces=1, spp=8, fov=3.0)
+
+    loss_spp = make_loss(cs2.spec, tgt, **kw)
+    loss_pri = make_loss(cs2.spec, tgt, edge_grad=True, **kw)
+    loss_sec = make_loss(cs2.spec, tgt, edge_grad=True, edge_secondary=True,
+                         **kw)
+
+    eps = 0.1
+    dp = np.zeros_like(np.asarray(pv))
+    dp[slot_occ] = eps
+    fd = (float(loss_spp(pv + jnp.asarray(dp)))
+          - float(loss_spp(pv - jnp.asarray(dp)))) / (2 * eps)
+    g_smooth = float(jax.grad(loss_spp)(pv)[slot_occ])
+    g_pri = float(jax.grad(loss_pri)(pv)[slot_occ])
+    g_sec = float(jax.grad(loss_sec)(pv)[slot_occ])
+
+    assert abs(fd) > 0.3, fd  # the secondary term is real at this config
+    assert abs(g_smooth) < 0.05 * abs(fd), (g_smooth, fd)
+    assert abs(g_pri) < 0.05 * abs(fd), (g_pri, fd)
+    ratio = g_sec / fd
+    assert 0.5 < ratio < 2.0, (g_sec, fd, ratio)

@@ -40,6 +40,7 @@ def fused(cs, target):
     return step(jnp.asarray(cs.params))
 
 
+@pytest.mark.slow
 def test_fused_forward_matches_renderer(cs, fused):
     """The kernel's phase-1 forward is the megakernel pipeline: its rendered
     image must match the differentiable renderer's forward."""
@@ -51,6 +52,7 @@ def test_fused_forward_matches_renderer(cs, fused):
     np.testing.assert_allclose(np.asarray(img), want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_loss_matches_oracle(cs, target, fused):
     loss_f, _, _ = fused
     loss_fn = make_loss(cs.spec, target, width=W, height=H, bounces=BOUNCES,
@@ -58,6 +60,7 @@ def test_fused_loss_matches_oracle(cs, target, fused):
     assert abs(float(loss_f) - float(loss_fn(jnp.asarray(cs.params)))) < 1e-6
 
 
+@pytest.mark.slow
 def test_fused_grads_match_detached_pallas_oracle(cs, target, fused):
     """Same march (Pallas t-interval kernel), same detached-normal
     semantics: the fused per-pixel backward + XLA-side parameter reduction
@@ -100,6 +103,7 @@ def test_winner_geom_backend_matches_oracle():
                                atol=1e-4 * scale)
 
 
+@pytest.mark.slow
 def test_fused_optimizer_path():
     """optimize_to_target(fused=True) drives Adam with the fused kernel and
     reduces the loss on a material-perturbation self-target."""
@@ -130,6 +134,7 @@ def test_fused_optimizer_path():
     assert losses[1:].min() < losses[0]
 
 
+@pytest.mark.slow
 def test_fused_grad_descends(cs, target, fused):
     """One SGD step along the fused gradient must reduce the fused loss
     (end-to-end sanity that the gradient is a descent direction)."""
@@ -196,6 +201,7 @@ def test_analytic_unboxed_precondition_errors():
         )(jnp.asarray(cs2.params))
 
 
+@pytest.mark.slow
 def test_fused_analytic_unboxed():
     """The fused trainer's analytic_unboxed mode (guard-less shapes in
     closed form, round 3: 475 -> 385 ms on HW) produces finite gradients
@@ -219,3 +225,82 @@ def test_fused_analytic_unboxed():
     scale = np.abs(g0).max()
     rel = np.abs(g1 - g0) / (np.abs(g0) + 1e-3 * scale)
     assert float(rel.max()) < 0.15, float(rel.max())
+
+
+# ---------------------------------------------------------------------------
+# Fused edge gradients (edge_grad=True): the round-4 geometry-signal fix
+# ---------------------------------------------------------------------------
+
+def _flat_ball_cs():
+    from compute_path_tracer_tpu.scene import KIND_SPHERE, Scene, Shape, Union
+
+    root = Union(name="Root")
+    ball = root.add_shape(Shape(KIND_SPHERE, name="Ball"))
+    ball.size.set(0.8)
+    ball.material.color.set(0.0, 0.0, 0.0)
+    ball.material.brightness.set(2.0)
+    ball.material.light_col.set(1.0, 1.0, 1.0)
+    return compile_scene(Scene([root]))
+
+
+def test_fused_edge_grad_matches_xla_estimator():
+    """The fused primary edge term must reproduce diff/vjp.py's calibrated
+    estimator: same beta formula, same proxy; only the closest-approach tap
+    sequence differs (t-interval-culled vs plain march)."""
+    cs2 = _flat_ball_cs()
+    pv = jnp.asarray(cs2.params, jnp.float32)
+    sx = cs2.spec.roots[0].children_shapes[0].transform.pos[0]
+    p_shift = np.asarray(pv).copy()
+    p_shift[sx] += 0.25
+    tgt = np.asarray(render_image_diff(
+        cs2.spec, jnp.asarray(p_shift), width=48, height=48, bounces=0))
+
+    l0, g0 = make_fused_value_and_grad(
+        cs2.spec, tgt, width=48, height=48, bounces=0, interpret=True)(pv)
+    l1, g1 = make_fused_value_and_grad(
+        cs2.spec, tgt, width=48, height=48, bounces=0, interpret=True,
+        edge_grad=True)(pv)
+    # Loss/image values are unchanged; only the gradient gains the term.
+    assert float(l0) == float(l1)
+    assert float(g0[sx]) == 0.0  # smooth geometry gradient is zero
+    gx = jax.grad(make_loss(
+        cs2.spec, tgt, width=48, height=48, bounces=0, edge_grad=True,
+        geometry="baked", normals="detached"))(pv)
+    assert abs(float(g1[sx]) - float(gx[sx])) < 0.05 * abs(float(gx[sx]))
+    corr = np.corrcoef(np.asarray(g1), np.asarray(gx))[0, 1]
+    assert corr > 0.99, corr
+
+
+@pytest.mark.slow
+def test_fused_edge_grad_recovers_position():
+    """Round-3 verdict item #2's done criterion: the position-recovery demo
+    routed through the FUSED kernel converges (without edge_grad the fused
+    trainer is structurally blind to geometry)."""
+    from compute_path_tracer_tpu.diff import optimize_to_target
+
+    cs2 = _flat_ball_cs()
+    p_true = jnp.asarray(cs2.params)
+    target = np.asarray(render_image_diff(
+        cs2.spec, p_true, width=48, height=48, bounces=0))
+    s = cs2.spec.roots[0].children_shapes[0].transform.pos[0]
+    p_init = np.asarray(p_true).copy()
+    p_init[s] += 0.3
+    mask = np.zeros_like(p_init)
+    mask[s] = 1.0
+
+    res = optimize_to_target(
+        cs2.spec, p_init, target, width=48, height=48, bounces=0, steps=60,
+        learning_rate=2e-2, param_mask=mask, fused=True, edge_grad=True,
+        interpret=True,
+    )
+    err0 = abs(p_init[s] - float(p_true[s]))
+    err1 = abs(float(res.params[s]) - float(p_true[s]))
+    assert err1 < err0 * 0.25, (err0, err1)
+
+    # Without the edge term the fused step cannot move the position at all.
+    frozen = optimize_to_target(
+        cs2.spec, p_init, target, width=48, height=48, bounces=0, steps=5,
+        learning_rate=2e-2, param_mask=mask, fused=True, edge_grad=False,
+        interpret=True,
+    )
+    assert abs(float(frozen.params[s]) - p_init[s]) < 1e-5
