@@ -123,7 +123,7 @@ def cmd_optimize(args) -> int:
         cs.spec, init, target, width=args.width, height=args.height,
         bounces=args.bounces, spp=args.spp, steps=args.steps,
         learning_rate=args.lr, param_mask=mask, edge_grad=args.edge_grad,
-        fused=args.fused,
+        edge_secondary=args.edge_secondary, fused=args.fused,
         callback=lambda i, l: print(f"step {i:4d} loss {l:.6f}")
         if i % max(1, args.steps // 10) == 0 else None,
     )
@@ -222,7 +222,11 @@ def main(argv=None) -> int:
                    help="'position': offset one shape's x and recover it "
                         "(pair with --edge-grad)")
     o.add_argument("--edge-grad", action="store_true",
-                   help="add reparameterized silhouette gradients")
+                   help="add reparameterized silhouette gradients (with "
+                        "--fused: the fused primary edge term)")
+    o.add_argument("--edge-secondary", action="store_true",
+                   help="extend edge gradients to SECONDARY-bounce "
+                        "visibility (per-bounce coverage; XLA path only)")
     o.set_defaults(fn=cmd_optimize)
 
     d = sub.add_parser(

@@ -435,10 +435,38 @@ def render_pixels_diff(
         mat_min = gather_mat(i_min)
         proxy_emit = mat_min.light.normalize_safe() * mat_min.brightness
         hit = lax.stop_gradient(d_min) < MHD
+        # Miss-lane proxy: what the pixel would show if coverage flipped to
+        # a hit.  The closest shape's EMISSIVE alone (round 3) is exact for
+        # emitters but zero for lit non-emissive shapes, silencing their
+        # silhouettes (e.g. a wall edge against black: the round-3
+        # secondary_edge artifact's uncaptured wall-x anchor).  When the
+        # pixel grid is available, average the RENDERED radiance of nearby
+        # hit pixels instead - the screen-space realization of the
+        # soft-rasterizer boundary color - falling back to the emissive
+        # where no neighbor hit exists.
+        proxy_miss = Vec3(*[lax.stop_gradient(a) for a in
+                            (proxy_emit.x, proxy_emit.y, proxy_emit.z)])
+        if (getattr(xs, "ndim", 0) == 2 and xs.shape[0] >= 5
+                and xs.shape[1] >= 5):
+            hm = hit.astype(jnp.float32)
+
+            def blur(p):
+                acc = p * 0.0
+                for dy in range(-2, 3):
+                    r = jnp.roll(p, dy, axis=0)
+                    for dx in range(-2, 3):
+                        acc = acc + jnp.roll(r, dx, axis=1)
+                return acc
+
+            den = blur(hm)
+            sgc = lax.stop_gradient
+            nb = Vec3(blur(sgc(col.x) * hm), blur(sgc(col.y) * hm),
+                      blur(sgc(col.z) * hm)) / jnp.maximum(den, 1e-6)
+            proxy_miss = vwhere(den > 0.5, nb, proxy_miss)
         proxy = vwhere(
             hit,
             Vec3(*[lax.stop_gradient(a) for a in (col.x, col.y, col.z)]),
-            Vec3(*[lax.stop_gradient(a) for a in (proxy_emit.x, proxy_emit.y, proxy_emit.z)]),
+            proxy_miss,
         )
         corr = c - lax.stop_gradient(c)
         edge_corr = proxy * corr
@@ -519,8 +547,12 @@ def render_image_diff(
         ).stack()
 
     acc = one(jnp.int32(0))
-    for s in range(1, spp):
-        acc = acc + one(jnp.int32(s))
+    if spp > 1:
+        # A fori_loop (static trip count -> reverse-differentiable scan)
+        # instead of a Python unroll: tracing `one` once keeps compile time
+        # flat in spp - the unrolled edge_secondary graph at spp=8 was a
+        # multi-minute XLA compile.
+        acc = lax.fori_loop(1, spp, lambda s, a: a + one(s), acc)
     return acc / float(spp)
 
 

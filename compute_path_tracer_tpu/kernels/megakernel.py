@@ -147,45 +147,87 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
 
 
 def _make_analytic_unboxed(spec: SceneSpec):
-    """Closed-form intersection of the GUARD-LESS shapes (``if (true)`` in
-    the reference codegen: infinite planes + unbounded lamp spheres), the
-    round-3-validated semantic trade (benchmarks/analytic_probe.py, 1.50x
-    on the primary march): these shapes cost a map evaluation at EVERY tap
-    of EVERY lane, yet a half-space and a sphere intersect a ray exactly.
+    """Closed-form intersection of the ELIGIBLE guard-less shapes
+    (``if (true)`` in the reference codegen: infinite planes, unbounded
+    lamp spheres, guard-less walls), the round-3-validated semantic trade
+    (benchmarks/analytic_probe.py, 1.50x on the primary march): these
+    shapes cost a map evaluation at EVERY tap of EVERY lane, yet a
+    half-space, a sphere and a box intersect a ray exactly.  Round 4
+    extends coverage from plane/sphere to CUBES (slab test in the baked
+    leaf frame - Mw is orthonormal for the uniform scales the scene model
+    has, so leaf-space ray lengths are world lengths) and from union-only
+    trees to any tree via the per-shape eligibility predicate
+    (render/baked.py:analytic_eligible_ids): only shapes whose value passes
+    exclusively through min-folds leave the map.
 
     Returns ``(cap_fn, normal_fn, closest_fn)``:
     ``cap_fn(ro, rd, bv) -> (t_cap, cap_idx)`` - each lane's nearest
-    analytic hit (BIG when none) and its shape id;
+    analytic hit (BIG when none) and its shape id; rays starting inside a
+    cube cap at its exit face (the |d|-march's behavior from inside);
     ``normal_fn(p, cap_idx, bv) -> Vec3`` - the exact surface normal of
-    the capped shape (plane: its unit gradient n; sphere: (p - c)/|p - c|);
+    the capped shape (plane: its unit gradient n; sphere: (p - c)/|p - c|;
+    cube: the argmax face normal rotated back to world);
     ``closest_fn(ro, rd, bv) -> (d_ca, t_ca, idx_ca)`` - the continuous
     closest-approach signed distance of the unboxed SPHERES (negative when
     the ray pierces), feeding the fused edge estimator: with skip_unboxed
     these shapes never appear in the march's map taps, so their silhouettes
     would otherwise be invisible to the d_min tracking.  Infinite planes
-    are skipped (their only visibility edge is the measure-zero horizon).
-
-    Only plane/sphere guard-less shapes are supported (the library's only
-    uses); the caller validates.
+    are skipped (their only visibility edge is the measure-zero horizon);
+    cube closest approach has no cheap closed form and is skipped too
+    (documented edge-estimator gap for guard-less cubes).
     """
-    from ..scene.model import KIND_PLANE, KIND_SPHERE
+    from ..render.baked import analytic_eligible_ids
+    from ..scene.model import KIND_CUBE, KIND_PLANE, KIND_SPHERE
 
+    eligible = analytic_eligible_ids(spec)
     unboxed = tuple(
-        bs for bs in baked_shapes_in_order(spec) if not bs.aabb
+        bs for bs in baked_shapes_in_order(spec) if bs.shape_id in eligible
     )
-    if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
-        # A raise (not assert): callers validate, but a guard-less shape of
-        # another kind must fail loudly even under ``python -O``.
-        raise ValueError(
-            "analytic_unboxed supports plane/sphere guard-less shapes"
-        )
+
+    def _cube_rows(bs, bv):
+        o = bs.off
+        M = tuple(bv[o + i] for i in range(9))
+        c = (bv[o + 9], bv[o + 10], bv[o + 11])
+        b = (bv[o + 12], bv[o + 13], bv[o + 14])
+        return M, c, b
+
+    def _cube_leaf_ray(bs, ro, rd, bv):
+        M, c, b = _cube_rows(bs, bv)
+
+        def row(r, v, add):
+            return (M[3 * r] * v.x + M[3 * r + 1] * v.y + M[3 * r + 2] * v.z
+                    + (add[r] if add else 0.0))
+
+        oq = tuple(row(r, ro, c) for r in range(3))
+        dq = tuple(row(r, rd, None) for r in range(3))
+        return oq, dq, b
 
     def cap_fn(ro, rd, bv):
         t_cap = jnp.full_like(ro.x, _BIG)
         cap_idx = jnp.full(ro.x.shape, -1, jnp.int32)
         for bs in unboxed:
             o = bs.off
-            if bs.kind == KIND_PLANE:
+            if bs.kind == KIND_CUBE:
+                oq, dq, b = _cube_leaf_ray(bs, ro, rd, bv)
+                lo = jnp.full_like(ro.x, -_BIG)
+                hi = jnp.full_like(ro.x, _BIG)
+                for ax in range(3):
+                    ok = jnp.abs(dq[ax]) > 1e-9
+                    inv = 1.0 / jnp.where(ok, dq[ax], 1.0)
+                    ta = (-b[ax] - oq[ax]) * inv
+                    tb = (b[ax] - oq[ax]) * inv
+                    axlo = jnp.minimum(ta, tb)
+                    axhi = jnp.maximum(ta, tb)
+                    inside = jnp.abs(oq[ax]) <= b[ax]
+                    axlo = jnp.where(ok, axlo,
+                                     jnp.where(inside, -_BIG, _BIG))
+                    axhi = jnp.where(ok, axhi,
+                                     jnp.where(inside, _BIG, -_BIG))
+                    lo = jnp.maximum(lo, axlo)
+                    hi = jnp.minimum(hi, axhi)
+                hit = (lo <= hi) & (hi > 0.0)
+                t = jnp.where(hit, jnp.where(lo > 0.0, lo, hi), _BIG)
+            elif bs.kind == KIND_PLANE:
                 denom = bv[o] * rd.x + bv[o + 1] * rd.y + bv[o + 2] * rd.z
                 f0 = (bv[o] * ro.x + bv[o + 1] * ro.y + bv[o + 2] * ro.z
                       + bv[o + 3])
@@ -218,7 +260,29 @@ def _make_analytic_unboxed(spec: SceneSpec):
         for bs in unboxed:
             o = bs.off
             won = cap_idx == bs.shape_id
-            if bs.kind == KIND_PLANE:
+            if bs.kind == KIND_CUBE:
+                M, c, b = _cube_rows(bs, bv)
+                q = tuple(
+                    M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
+                    + c[r] for r in range(3)
+                )
+                # Hit face = axis where |q| reaches its half-extent; the
+                # leaf normal is that axis signed by q, rotated back to
+                # world with Mw^T (orthonormal).
+                r0 = jnp.abs(q[0]) - b[0]
+                r1 = jnp.abs(q[1]) - b[1]
+                r2 = jnp.abs(q[2]) - b[2]
+                ax0 = (r0 >= r1) & (r0 >= r2)
+                ax1 = (~ax0) & (r1 >= r2)
+                nl = (jnp.where(ax0, jnp.sign(q[0]), 0.0),
+                      jnp.where(ax1, jnp.sign(q[1]), 0.0),
+                      jnp.where(ax0 | ax1, 0.0, jnp.sign(q[2])))
+                cand = Vec3(
+                    M[0] * nl[0] + M[3] * nl[1] + M[6] * nl[2],
+                    M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
+                    M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
+                ).normalize_safe()
+            elif bs.kind == KIND_PLANE:
                 cand = Vec3(zero + bv[o], zero + bv[o + 1], zero + bv[o + 2])
             else:
                 cand = Vec3(p.x - bv[o], p.y - bv[o + 1],
@@ -260,7 +324,7 @@ def _make_analytic_unboxed(spec: SceneSpec):
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
                        with_stats=False, omega=1.0, t_cap=None,
-                       with_closest=False):
+                       with_closest=False, refresh_every=1):
     """Sphere march with PER-STEP t-interval shape culling.
 
     The bounce-level anyhit cull asks "does any lane's ray hit shape i's box
@@ -306,11 +370,34 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     ``(d_min, t_at_min)``, the visibility-edge estimator's input
     (diff/vjp.py:_march_closest, here fused into the same march) - and
     returns ``(t, t_prev, d_min, t_min)``.
+
+    ``refresh_every=K`` (faithful omega only; STEPS % K == 0) recomputes
+    the per-step activation machinery - the two t-front reductions, the
+    per-shape predicate chains, and the pending-entry fold - only once per
+    K-step window, holding (active, m) frozen for the window's inner loop.
+    Safety is inherited from the pending clamp: a shape whose interval the
+    advancing front reaches mid-window was PENDING at refresh time, and
+    the frozen clamp ``max(m - t, MHD)`` still stops every lane at the
+    nearest pending entry, up to the MHD-floor creep - now bounded by
+    K * MHD past a box ENTRY per window instead of MHD (the same
+    documented eps-level divergence class as t_cull itself, widened
+    K-fold).  Shapes leaving the front mid-window merely stay active (cost,
+    not correctness).  Lanes clamped by a stale m take shorter steps than
+    the faithful sequence, which can shift the sub-MHD landing tap and
+    budget-exit accounting at the same eps level.
     """
     t0 = ro.x * 0.0
     relax = float(omega) != 1.0
     if with_closest and (relax or with_stats):
         raise ValueError("with_closest requires omega=1.0, with_stats=False")
+    refresh_every = int(refresh_every)
+    if refresh_every != 1:
+        if relax or with_stats:
+            raise ValueError("refresh_every requires omega=1.0, "
+                             "with_stats=False")
+        if STEPS % refresh_every:
+            raise ValueError(f"STEPS={STEPS} not divisible by "
+                             f"refresh_every={refresh_every}")
     # Lanes already dead in the bounce loop start the march done: their
     # frozen rays must neither extend the while_loop nor widen the t-front.
     done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
@@ -347,30 +434,58 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
                 if act is not None:
                     actacc = actacc + act.astype(jnp.float32)
 
+        if not relax:
+            def substep(sc):
+                if with_closest:
+                    t, tp, done_i, d_min, t_min = sc
+                else:
+                    t, tp, done_i = sc
+                done = done_i != 0
+                p = ro + rd * t
+                d = map_d_culled(p, pv, checks, tuple(active))
+                ad = jnp.abs(d)
+                if with_closest:
+                    better = (~done) & (d < d_min)
+                    d_min = jnp.where(better, d, d_min)
+                    t_min = jnp.where(better, t, t_min)
+                clamp = jnp.maximum(m - t, MHD)
+                step_len = jnp.minimum(ad, clamp)
+                nt = jnp.where(done, t, t + step_len)
+                if t_cap is not None:
+                    # Analytic-intersection cap: a lane that would march
+                    # past its nearest guard-less closed-form hit stops
+                    # exactly ON that surface (the map excludes those
+                    # shapes).
+                    nt = jnp.where(done, nt, jnp.minimum(nt, t_cap))
+                ntp = jnp.where(done, tp, t)
+                ndone = done | (ad < MHD) | (nt > FP)
+                if t_cap is not None:
+                    ndone = ndone | (nt >= t_cap)
+                if with_closest:
+                    return nt, ntp, ndone.astype(jnp.int32), d_min, t_min
+                return nt, ntp, ndone.astype(jnp.int32)
+
+            if with_closest:
+                sc = (t, tp, done_i, d_min, t_min)
+            else:
+                sc = (t, tp, done_i)
+            if refresh_every == 1:
+                sc = substep(sc)
+            else:
+                # Frozen (active, m) window; see the refresh_every contract
+                # in the docstring.
+                sc = lax.fori_loop(0, refresh_every, lambda _j, s: substep(s),
+                                   sc)
+            if with_closest:
+                nt, ntp, ndone_i, d_min, t_min = sc
+                return (step + refresh_every, nt, ntp, ndone_i, actacc,
+                        d_min, t_min)
+            nt, ntp, ndone_i = sc
+            return step + refresh_every, nt, ntp, ndone_i, actacc
         p = ro + rd * t
         d = map_d_culled(p, pv, checks, tuple(active))
         ad = jnp.abs(d)
         clamp = jnp.maximum(m - t, MHD)
-        if not relax:
-            if with_closest:
-                better = (~done) & (d < d_min)
-                d_min = jnp.where(better, d, d_min)
-                t_min = jnp.where(better, t, t_min)
-            step_len = jnp.minimum(ad, clamp)
-            nt = jnp.where(done, t, t + step_len)
-            if t_cap is not None:
-                # Analytic-intersection cap: a lane that would march past
-                # its nearest guard-less closed-form hit stops exactly ON
-                # that surface (the map excludes those shapes).
-                nt = jnp.where(done, nt, jnp.minimum(nt, t_cap))
-            ntp = jnp.where(done, tp, t)
-            ndone = done | (ad < MHD) | (nt > FP)
-            if t_cap is not None:
-                ndone = ndone | (nt >= t_cap)
-            if with_closest:
-                return (step + 1, nt, ntp, ndone.astype(jnp.int32), actacc,
-                        d_min, t_min)
-            return step + 1, nt, ntp, ndone.astype(jnp.int32), actacc
         # Overlap check on SIGNED distances: a stretched step is only valid
         # if the unbounding spheres overlap, s_prev <= d_prev + d; signed d
         # makes a sign crossing (surface between the samples) fire the test
@@ -506,7 +621,7 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                      pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
-                     stats=False, omega=1.0, analytic=None):
+                     stats=False, omega=1.0, analytic=None, refresh_every=1):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -562,7 +677,8 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
             out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
                                      ivals, alive=alive,
                                      with_stats=stats, omega=omega,
-                                     t_cap=t_cap)
+                                     t_cap=t_cap,
+                                     refresh_every=refresh_every)
             if stats:
                 t, tp, msteps, mact = out
                 steps_tot = steps_tot + msteps.astype(jnp.float32)
@@ -676,7 +792,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int,
                  geometry: str = "faithful", normals: str = "central",
                  t_cull: bool = False, omega: float = 1.0,
-                 analytic_unboxed: bool = False):
+                 analytic_unboxed: bool = False, refresh_every: int = 1):
     """Kernel body: one VMEM tile.
 
     ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
@@ -691,25 +807,22 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     baked = geometry == "baked"
     analytic = None
     if analytic_unboxed:
-        from ..scene.model import KIND_PLANE, KIND_SPHERE
+        from ..render.baked import analytic_eligible_ids
 
         if not (baked and t_cull):
             raise ValueError(
                 "analytic_unboxed requires geometry='baked' and t_cull=True"
-            )
-        if not spec_is_union_only(spec):
-            raise ValueError("analytic_unboxed requires a union-only tree")
-        unboxed = [bs for bs in baked_shapes_in_order(spec) if not bs.aabb]
-        if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
-            raise ValueError(
-                "analytic_unboxed supports plane/sphere guard-less shapes"
             )
         if debug in (1, 2):
             raise ValueError(
                 "analytic_unboxed supports the path-traced modes (debug "
                 "0/3/4); the id-march debug diagnostics stay faithful"
             )
-        if unboxed:
+        # Per-shape eligibility (round 4): any tree is accepted; only the
+        # guard-less shapes whose value passes exclusively through
+        # min-folds leave the map (analytic_eligible_ids).  An empty set
+        # makes the flag a no-op, matching the old no-guard-less behavior.
+        if analytic_eligible_ids(spec):
             analytic = _make_analytic_unboxed(spec)
     if baked:
         skip = analytic is not None
@@ -777,7 +890,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                     map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                     pv, rng, bounces,
                     normal_fn=normal_fn, t_cull=t_cull, omega=omega,
-                    analytic=analytic,
+                    analytic=analytic, refresh_every=refresh_every,
                 )
                 if debug == 3:
                     col = Vec3.splat(
@@ -859,7 +972,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w",
         "geometry", "normals", "t_cull", "omega", "analytic_unboxed",
-        "interpret",
+        "refresh_every", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -883,6 +996,7 @@ def _pallas_frame_planes(
     t_cull: bool = False,
     omega: float = 1.0,
     analytic_unboxed: bool = False,
+    refresh_every: int = 1,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -900,7 +1014,8 @@ def _pallas_frame_planes(
     )
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w,
-                          geometry, normals, t_cull, omega, analytic_unboxed)
+                          geometry, normals, t_cull, omega, analytic_unboxed,
+                          refresh_every)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -953,6 +1068,7 @@ def render_frame_pallas(
     t_cull: bool = False,
     omega: float = 1.0,
     analytic_unboxed: bool = False,
+    refresh_every: int = 1,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -993,6 +1109,7 @@ def render_frame_pallas(
         t_cull=t_cull,
         omega=omega,
         analytic_unboxed=analytic_unboxed,
+        refresh_every=refresh_every,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))

@@ -179,20 +179,12 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     B1E = B1 + 1 if edge_grad else B1
     analytic = None
     if analytic_unboxed:
-        from ..scene.model import KIND_PLANE, KIND_SPHERE
+        from ..render.baked import analytic_eligible_ids
         from .megakernel import _make_analytic_unboxed
 
-        # Mirror the megakernel's analytic_unboxed preconditions as explicit
-        # ValueErrors (megakernel.py:_make_kernel) - the fused path always
-        # runs baked+t_cull, so only the tree/kind checks apply here.
-        if not _union_only(spec):
-            raise ValueError("analytic_unboxed requires a union-only tree")
-        unboxed = [bs for bs in baked_shapes_in_order(spec) if not bs.aabb]
-        if any(bs.kind not in (KIND_PLANE, KIND_SPHERE) for bs in unboxed):
-            raise ValueError(
-                "analytic_unboxed supports plane/sphere guard-less shapes"
-            )
-        if unboxed:
+        # Same per-shape eligibility as the megakernel (round 4): any tree
+        # is accepted; only min-fold-pure guard-less shapes leave the map.
+        if analytic_eligible_ids(spec):
             analytic = _make_analytic_unboxed(spec)
     skip = analytic is not None
     map_ids = make_map_baked(spec, skip_unboxed=skip)

@@ -324,17 +324,60 @@ def _eval_shape(bs: BakedShape, p, bv, checks, acc_d, acc_i, op, k, si):
     return cd, ci
 
 
-def _union_cull_pred(bu: BakedUnion, anyhit, skip_unboxed=False):
+@lru_cache(maxsize=None)
+def analytic_eligible_ids(spec: SceneSpec) -> frozenset:
+    """Shape ids the analytic-intersection trade may remove from the baked
+    map (kernels/megakernel.py ``analytic_unboxed``).
+
+    A guard-less shape is eligible iff dropping it from the fold and
+    re-introducing it as a march cap is EXACT:
+
+    * every union on its root path (including its own) is a plain UNION -
+      the shape's distance then only ever passes through min-folds, which
+      are order-insensitive, and its surface is never carved by a
+      subtraction or reshaped by a smooth blend;
+    * it is not the first shape of a union that also has child unions: the
+      reference fold's first-shape ASSIGN (containers.rs:244-252) clobbers
+      the children's contribution, so removing it would resurrect them;
+    * its kind has a closed-form ray intersection (plane, sphere, cube).
+
+    Round-3 note: the old predicate was "union-only tree + any guard-less
+    shape", which silently mis-handled the clobber case and rejected
+    subtraction trees outright; this per-shape test supersedes it.
+    """
+    from ..scene.model import KIND_CUBE as _KC, KIND_PLANE as _KP, \
+        KIND_SPHERE as _KS
+
+    out = set()
+
+    def walk(us, union_path):
+        here = union_path and us.op == OP_UNION
+        for cu in us.children_unions:
+            walk(cu, here)
+        for si, ss in enumerate(us.children_shapes):
+            if ss.transform.aabb or not here:
+                continue
+            if si == 0 and us.children_unions:
+                continue  # first-shape-assign clobber
+            if ss.kind in (_KP, _KS, _KC):
+                out.add(ss.shape_id)
+
+    for r in spec.roots:
+        walk(r, True)
+    return frozenset(out)
+
+
+def _union_cull_pred(bu: BakedUnion, anyhit, skip_ids=frozenset()):
     terms = []
     for cu in bu.children_unions:
-        t = _union_cull_pred(cu, anyhit, skip_unboxed)
+        t = _union_cull_pred(cu, anyhit, skip_ids)
         if t is True:
             return True
         if t is not False:
             terms.append(t)
     for bs in bu.children_shapes:
         if not bs.aabb:
-            if skip_unboxed:
+            if bs.shape_id in skip_ids:
                 continue
             return True
         terms.append(anyhit[bs.shape_id])
@@ -346,16 +389,16 @@ def _union_cull_pred(bu: BakedUnion, anyhit, skip_unboxed=False):
     return pred
 
 
-def _eval_union(bu: BakedUnion, p, bv, checks, anyhit, skip_unboxed=False):
+def _eval_union(bu: BakedUnion, p, bv, checks, anyhit, skip_ids=frozenset()):
     def evaluate(_):
         acc_d = p.x * 0.0 + bv[bu.init_off]
         acc_i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
-            cd, ci = _eval_union(cu, p, bv, checks, anyhit, skip_unboxed)
+            cd, ci = _eval_union(cu, p, bv, checks, anyhit, skip_ids)
             acc_d, acc_i = _combine(bu.op, acc_d, acc_i, cd, ci, 1, k)
         for si, bs in enumerate(bu.children_shapes):
-            if skip_unboxed and not bs.aabb:
+            if bs.shape_id in skip_ids:
                 continue
             if bs.aabb and anyhit is not None:
                 def do(args, bs=bs, si=si, k=k):
@@ -377,7 +420,7 @@ def _eval_union(bu: BakedUnion, p, bv, checks, anyhit, skip_unboxed=False):
 
     if anyhit is None:
         return evaluate(None)
-    pred = _union_cull_pred(bu, anyhit, skip_unboxed)
+    pred = _union_cull_pred(bu, anyhit, skip_ids)
     if pred is True:
         return evaluate(None)
     if pred is False:
@@ -424,7 +467,7 @@ def _guarded_runs(children, anyhit, group):
 
 
 def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit,
-                  skip_unboxed=False):
+                  skip_ids=frozenset()):
     """Distance-only fold of :func:`_eval_union` - no winning-id selects.
 
     The march only needs the scene distance per tap; the winning shape id is
@@ -446,7 +489,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit,
         acc_d = p.x * 0.0 + bv[bu.init_off]
         k = bv[bu.k_off] if bu.k_off >= 0 else None
         for cu in bu.children_unions:
-            cd = _eval_union_d(cu, p, bv, checks, anyhit, skip_unboxed)
+            cd = _eval_union_d(cu, p, bv, checks, anyhit, skip_ids=skip_ids)
             acc_d = _combine_scalar(bu.op, acc_d, cd, k)
         cs = bu.children_shapes
         for start, run in _guarded_runs(cs, anyhit, 1):
@@ -455,10 +498,11 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit,
                 and anyhit[run[0].shape_id] is not None
             )
             if not guarded:
-                if skip_unboxed and not cs[start].aabb:
-                    # Guard-less shape excluded (analytic-intersection mode;
-                    # only valid for union-only folds, where dropping a
-                    # min-fold member is order-insensitive).
+                if cs[start].shape_id in skip_ids:
+                    # Guard-less shape excluded (analytic-intersection
+                    # mode; per-shape eligibility guarantees its value only
+                    # ever passed through min-folds - see
+                    # analytic_eligible_ids).
                     continue
                 acc_d = _eval_shape_d(cs[start], p, bv, checks, acc_d, bu.op,
                                       k, start)
@@ -490,7 +534,7 @@ def _eval_union_d(bu: BakedUnion, p, bv, checks, anyhit,
 
     if anyhit is None:
         return evaluate(None)
-    pred = _union_cull_pred(bu, anyhit, skip_unboxed)
+    pred = _union_cull_pred(bu, anyhit, skip_ids)
     if pred is True:
         return evaluate(None)
     if pred is False:
@@ -503,18 +547,18 @@ def make_map_baked_d(spec: SceneSpec, skip_unboxed: bool = False):
     geometry: identical distances to :func:`make_map_baked` with every
     winning-id int32 select removed (march + normal taps don't need ids).
 
-    ``skip_unboxed=True`` (union-only specs) excludes the guard-less
-    shapes - the analytic-intersection march handles them in closed form
-    (kernels/megakernel.py ``analytic_unboxed``)."""
+    ``skip_unboxed=True`` excludes the ELIGIBLE guard-less shapes
+    (:func:`analytic_eligible_ids`) - the analytic-intersection march
+    handles those in closed form (kernels/megakernel.py
+    ``analytic_unboxed``); ineligible guard-less shapes stay in the map."""
     layout = baked_layout(spec)
-    if skip_unboxed and not spec_is_union_only(spec):
-        raise ValueError("skip_unboxed requires a union-only CSG tree")
+    skip_ids = analytic_eligible_ids(spec) if skip_unboxed else frozenset()
 
     def map_fn(p: Vec3, bv, checks, anyhit=None):
         d = jnp.full_like(p.x, MAX_DIST)
         for broot in layout.roots:
             d = jnp.minimum(d, _eval_union_d(broot, p, bv, checks, anyhit,
-                                             skip_unboxed))
+                                             skip_ids=skip_ids))
         return d
 
     return map_fn
@@ -527,14 +571,13 @@ def make_map_baked(spec: SceneSpec, skip_unboxed: bool = False):
     for the plain per-lane-guard map (oracle use).  ``skip_unboxed``: see
     :func:`make_map_baked_d`."""
     layout = baked_layout(spec)
-    if skip_unboxed and not spec_is_union_only(spec):
-        raise ValueError("skip_unboxed requires a union-only CSG tree")
+    skip_ids = analytic_eligible_ids(spec) if skip_unboxed else frozenset()
 
     def map_fn(p: Vec3, bv, checks, anyhit=None):
         d = jnp.full_like(p.x, MAX_DIST)
         i = jnp.full(p.x.shape, -1, dtype=jnp.int32)
         for broot in layout.roots:
-            rd_, ri_ = _eval_union(broot, p, bv, checks, anyhit, skip_unboxed)
+            rd_, ri_ = _eval_union(broot, p, bv, checks, anyhit, skip_ids)
             d, i = _combine(OP_UNION, d, i, rd_, ri_, 1)
         return d, i
 

@@ -205,10 +205,105 @@ def test_analytic_unboxed_matches_oracle():
 
 
 def test_analytic_unboxed_validation():
+    """baked + t_cull remain hard requirements for the analytic trade."""
     from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.scene import sphere_and_plane
 
-    cs = compile_scene(csg_demo())  # has a subtraction: not union-only
+    cs = compile_scene(sphere_and_plane())
     with np.testing.assert_raises(ValueError):
         render_frame_pallas(cs.spec, jnp.asarray(cs.params), width=32,
-                            height=32, geometry="baked", t_cull=True,
+                            height=32, geometry="baked", t_cull=False,
                             analytic_unboxed=True, interpret=True)
+
+
+def test_analytic_eligibility_predicate():
+    """Per-shape eligibility (round 4): guard-less shapes under pure-union
+    root paths qualify; shapes under/inside subtraction or smooth-union
+    nodes, guarded shapes, and first-shape-assign clobber cases do not."""
+    from compute_path_tracer_tpu.render.baked import analytic_eligible_ids
+    from compute_path_tracer_tpu.scene import (
+        KIND_CUBE, KIND_PLANE, KIND_SPHERE, SUBTRACTION, Scene, Shape, Union,
+    )
+
+    root = Union(name="Root")
+    sub = root.add_union(Union(name="Carved"))
+    sub.op = SUBTRACTION
+    inside = sub.add_shape(Shape(KIND_SPHERE, name="Body"))
+    inside.transform.aabb = False  # guard-less but inside a subtraction
+    clob = root.add_union(Union(name="Mixed"))
+    clob.add_union(Union(name="Child"))
+    first = clob.add_shape(Shape(KIND_SPHERE, name="First"))
+    first.transform.aabb = False  # guard-less but the clobbering assign
+    env = root.add_union(Union(name="Env"))
+    plane = env.add_shape(Shape(KIND_PLANE, name="Ground"))
+    plane.transform.aabb = False  # eligible
+    wall = env.add_shape(Shape(KIND_CUBE, name="Wall"))
+    wall.transform.aabb = False  # eligible (cube, round 4)
+    guarded = env.add_shape(Shape(KIND_SPHERE, name="Guarded"))
+    assert guarded.transform.aabb  # stays guarded -> ineligible
+
+    cs = compile_scene(Scene([root]))
+    ids = analytic_eligible_ids(cs.spec)
+    # Shape ids are assigned in compile walk order (unions first, then
+    # shapes, depth-first): Body=0, First=1, Ground=2, Wall=3, Guarded=4.
+    assert ids == frozenset({2, 3}), ids
+
+
+def test_analytic_unboxed_subtraction_tree():
+    """Round 4: the analytic trade now accepts subtraction trees, removing
+    only the min-fold-pure guard-less shapes (csg_demo: the Environment
+    ground plane + lamp); the render must match the oracle except at the
+    documented divergence classes."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.render.baked import analytic_eligible_ids
+
+    cs = compile_scene(csg_demo())
+    assert len(analytic_eligible_ids(cs.spec)) == 2
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=64, height=32, bounces=2, debug=0, frame=2, last_clear=0)
+    a = np.asarray(render_frame(cs.spec, pv, geometry="baked", **kw))
+    c = np.asarray(render_frame_pallas(
+        cs.spec, pv, geometry="baked", t_cull=True, analytic_unboxed=True,
+        interpret=True, tile=(32, 128), **kw,
+    ))
+    assert np.isfinite(c).all()
+    d = np.abs(c - a).max(axis=2)
+    assert float((d > 1e-2).mean()) < 0.02, float((d > 1e-2).mean())
+
+
+def test_analytic_unboxed_cube():
+    """Round 4: guard-less CUBES intersect in closed form (slab test in the
+    baked leaf frame, incl. rotation); render matches the oracle except at
+    the documented divergence classes."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.render.baked import analytic_eligible_ids
+    from compute_path_tracer_tpu.scene import (
+        KIND_CUBE, KIND_SPHERE, Scene, Shape, Union,
+    )
+
+    root = Union(name="Root")
+    box = root.add_shape(Shape(KIND_CUBE, name="Box"))
+    box.size3.set(0.5, 0.4, 0.3)
+    box.transform.rotation.set(0.3, 0.5, 0.1)
+    box.transform.position.set(0.1, -0.1, 0.4)
+    box.transform.aabb = False
+    box.material.color.set(0.7, 0.5, 0.3)
+    lamp = root.add_shape(Shape(KIND_SPHERE, name="Lamp"))
+    lamp.size.set(0.6)
+    lamp.transform.position.set(1.2, 1.2, -0.8)
+    lamp.material.color.set(0.0, 0.0, 0.0)
+    lamp.material.brightness.set(10.0)
+    lamp.material.light_col.set(1.0, 1.0, 1.0)
+    lamp.transform.aabb = False
+    cs = compile_scene(Scene([root]))
+    assert len(analytic_eligible_ids(cs.spec)) == 2
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=64, height=32, bounces=2, debug=0, frame=1, last_clear=0)
+    a = np.asarray(render_frame(cs.spec, pv, geometry="baked", **kw))
+    c = np.asarray(render_frame_pallas(
+        cs.spec, pv, geometry="baked", t_cull=True, analytic_unboxed=True,
+        interpret=True, tile=(32, 128), **kw,
+    ))
+    assert np.isfinite(c).all()
+    d = np.abs(c - a).max(axis=2)
+    assert float((d > 1e-2).mean()) < 0.02, float((d > 1e-2).mean())

@@ -188,17 +188,28 @@ def test_fused_rejects_xla_knob_requests():
                                interpret=True, **kw)
 
 
-def test_analytic_unboxed_precondition_errors():
-    """The fused trainer mirrors the megakernel's analytic_unboxed
-    ValueErrors instead of relying on a strippable assert (csg_demo has a
-    subtraction node -> union-only check fires)."""
+@pytest.mark.slow
+def test_fused_analytic_subtraction_tree():
+    """Round 4: the fused trainer's analytic_unboxed accepts subtraction
+    trees via per-shape eligibility (csg_demo's Environment plane + lamp
+    leave the map; the carved body stays faithful) - gradients stay finite
+    and close to the faithful-fused step."""
+    from compute_path_tracer_tpu.render.baked import analytic_eligible_ids
+
     cs2 = compile_scene(csg_demo())
-    tgt = np.zeros((H, W, 3), np.float32)
-    with pytest.raises(ValueError, match="union-only"):
-        make_fused_value_and_grad(
-            cs2.spec, tgt, width=W, height=H, bounces=BOUNCES,
-            interpret=True, analytic_unboxed=True,
-        )(jnp.asarray(cs2.params))
+    assert len(analytic_eligible_ids(cs2.spec)) == 2
+    rng = np.random.default_rng(3)
+    tgt = (rng.random((H, W, 3)) * 0.2).astype(np.float32)
+    kw = dict(width=W, height=H, bounces=BOUNCES, interpret=True)
+    l0, g0 = make_fused_value_and_grad(cs2.spec, tgt, **kw)(
+        jnp.asarray(cs2.params))
+    l1, g1 = make_fused_value_and_grad(cs2.spec, tgt, analytic_unboxed=True,
+                                       **kw)(jnp.asarray(cs2.params))
+    g0, g1 = np.asarray(g0), np.asarray(g1)
+    assert np.isfinite(g1).all()
+    scale = np.abs(g0).max()
+    rel = np.abs(g1 - g0) / (np.abs(g0) + 1e-3 * scale)
+    assert float(rel.max()) < 0.15, float(rel.max())
 
 
 @pytest.mark.slow
