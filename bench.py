@@ -220,7 +220,7 @@ def bench_forward_analytic(cs):
     }
 
 
-def bench_fused(cs, analytic=False, edge=False):
+def bench_fused(cs, analytic=False, edge=False, secondary=False):
     """The fused train step (kernels/train.py): forward render + per-pixel
     backward in one Pallas kernel, parameter scatters in XLA.  Gradient
     semantics = normals="detached" (the fast-training configuration).
@@ -236,7 +236,7 @@ def bench_fused(cs, analytic=False, edge=False):
     target = np.zeros((HEIGHT, WIDTH, 3), np.float32)
     step = make_fused_value_and_grad(
         cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
-        analytic_unboxed=analytic, edge_grad=edge,
+        analytic_unboxed=analytic, edge_grad=edge, edge_secondary=secondary,
     )
     _, g = step(cs.params)
     np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
@@ -252,6 +252,8 @@ def bench_fused(cs, analytic=False, edge=False):
     label = ", analytic_unboxed" if analytic else ""
     if edge:
         label += ", edge_grad"
+    if secondary:
+        label += "+secondary"
     return {
         "metric": f"fwd+bwd train-step rays/s/chip @ {WIDTH}x{HEIGHT}, "
         f"{N_PRIMS}-prim CSG, {BOUNCES} bounces, fused kernel "
@@ -319,6 +321,16 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
     except Exception as e:
         print(json.dumps({
             "metric": "fwd+bwd train-step rays/s/chip, fused + edge_grad",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
+    # FULL geometry fidelity: + secondary-bounce visibility edges (the
+    # adversarial-dominant term); runs on half-height tiles for VMEM.
+    try:
+        print(json.dumps(bench_fused(_CS, edge=True, secondary=True)),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd+bwd train-step, fused + edge_grad+secondary",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
     if not os.environ.get("BENCH_SKIP_ANALYTIC"):

@@ -226,7 +226,8 @@ def main(argv=None) -> int:
                         "--fused: the fused primary edge term)")
     o.add_argument("--edge-secondary", action="store_true",
                    help="extend edge gradients to SECONDARY-bounce "
-                        "visibility (per-bounce coverage; XLA path only)")
+                        "visibility (per-bounce coverage; works with "
+                        "--fused too)")
     o.set_defaults(fn=cmd_optimize)
 
     d = sub.add_parser(

@@ -65,10 +65,10 @@ def optimize_to_target(
     if fused:
         from ..kernels.train import check_no_refraction, make_fused_value_and_grad
 
-        if spp != 1 or edge_secondary:
+        if spp != 1:
             raise ValueError(
-                "fused=True supports spp=1 without edge_secondary; use the "
-                "XLA path for multi-sample or secondary-edge optimization"
+                "fused=True supports spp=1; use the XLA path for "
+                "multi-sample optimization"
             )
         if not implicit or geometry != "faithful" or march != "xla":
             # The fused kernel has fixed semantics (baked geometry, on-chip
@@ -86,6 +86,7 @@ def optimize_to_target(
         vag = make_fused_value_and_grad(
             spec, target, width=width, height=height, bounces=bounces,
             interpret=interpret, edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2,
         )
         # Pin refract_chance at its (checked-zero) init: the fused model
         # cannot represent nonzero values (forward shades them as 0), so

@@ -404,6 +404,8 @@ def make_fused_sharded_train_step(
     analytic_unboxed: bool = False,
     edge_grad: bool = False,
     edge_beta: float = 0.5,
+    edge_secondary: bool = False,
+    edge_beta2: float = 0.5,
 ):
     """Distributed training step over the FUSED kernel (kernels/train.py):
     each chip runs the forward+per-pixel-backward kernel on its row band
@@ -427,6 +429,8 @@ def make_fused_sharded_train_step(
     band_h = height // n
     if tile is None:
         th, tw = DEFAULT_TILE
+        if edge_secondary:
+            th = 16  # VMEM headroom for the secondary rows (kernels/train.py)
         th = min(th, -(-band_h // 8) * 8)
     else:
         th, tw = tile
@@ -452,6 +456,7 @@ def make_fused_sharded_train_step(
             crop_h=band_h, bounces=bounces, tile_h=th, tile_w=tw,
             interpret=interpret, analytic_unboxed=analytic_unboxed,
             edge_grad=edge_grad, edge_beta=edge_beta,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2,
         )
         return lax.psum(sse, TILE_AXIS), lax.psum(grad, TILE_AXIS)
 

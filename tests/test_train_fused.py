@@ -315,3 +315,59 @@ def test_fused_edge_grad_recovers_position():
         interpret=True,
     )
     assert abs(float(frozen.params[s]) - p_init[s]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Fused SECONDARY edge gradients (edge_secondary=True, round 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_fused_secondary_matches_xla_estimator():
+    """On the adversarial occluder scene (only indirect light; the
+    secondary term dominates), the fused secondary estimator must agree
+    with the XLA edge_secondary estimator at matched spp=1 and leave the
+    loss value unchanged; the plain fused gradient is exactly zero for the
+    occluder."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from secondary_edge import _scene
+
+    cs2 = compile_scene(_scene())
+    pv = jnp.asarray(cs2.params, jnp.float32)
+    slot = cs2.spec.roots[0].children_shapes[2].transform.pos[1]
+    tgt = np.zeros((32, 32, 3), np.float32)
+    kw = dict(width=32, height=32, bounces=1, fov=3.0, interpret=True)
+
+    l0, g0 = make_fused_value_and_grad(cs2.spec, tgt, **kw)(pv)
+    l2, g2 = make_fused_value_and_grad(cs2.spec, tgt, edge_grad=True,
+                                       edge_secondary=True, **kw)(pv)
+    assert float(l0) == float(l2)
+    assert float(g0[slot]) == 0.0
+
+    loss_x = make_loss(cs2.spec, tgt, width=32, height=32, bounces=1,
+                       spp=1, fov=3.0, edge_grad=True, edge_secondary=True,
+                       geometry="baked", normals="detached")
+    gx = float(jax.grad(loss_x)(pv)[slot])
+    gf = float(g2[slot])
+    assert gx != 0.0
+    assert abs(gf - gx) < 0.1 * abs(gx), (gf, gx)
+
+
+@pytest.mark.slow
+def test_fused_secondary_nonwinner_tree():
+    """csg_demo (subtraction -> map-vjp backend): the secondary rows route
+    through the dedicated winner-leaf block; gradients stay finite, values
+    unchanged, and the term adds signal."""
+    cs2 = compile_scene(csg_demo())
+    pv = jnp.asarray(cs2.params)
+    rng = np.random.default_rng(5)
+    tgt = (rng.random((H, W, 3)) * 0.2).astype(np.float32)
+    kw = dict(width=W, height=H, bounces=1, interpret=True)
+    l0, g0 = make_fused_value_and_grad(cs2.spec, tgt, **kw)(pv)
+    l2, g2 = make_fused_value_and_grad(cs2.spec, tgt, edge_grad=True,
+                                       edge_secondary=True, **kw)(pv)
+    assert float(l0) == float(l2)
+    g0, g2 = np.asarray(g0), np.asarray(g2)
+    assert np.isfinite(g2).all()
+    assert np.abs(g2 - g0).max() > 0.0
