@@ -307,3 +307,23 @@ def test_analytic_unboxed_cube():
     assert np.isfinite(c).all()
     d = np.abs(c - a).max(axis=2)
     assert float((d > 1e-2).mean()) < 0.02, float((d > 1e-2).mean())
+
+
+@pytest.mark.slow
+def test_refresh_every_divergence_bounded():
+    """The activation-refresh march (refresh_every=K, a measured-negative
+    perf lever kept opt-in for reproducibility - artifact refresh_r04.jsonl)
+    must stay within its documented eps-level divergence class: the frozen
+    pending clamp bounds creep at K*MHD past box entries."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+
+    cs = compile_scene(csg_demo())
+    pv = jnp.asarray(cs.params)
+    kw = dict(width=128, height=64, bounces=2, debug=0, frame=1,
+              last_clear=0, geometry="baked", t_cull=True, interpret=True,
+              tile=(32, 128))
+    a = np.asarray(render_frame_pallas(cs.spec, pv, **kw))
+    b = np.asarray(render_frame_pallas(cs.spec, pv, refresh_every=4, **kw))
+    assert np.isfinite(b).all()
+    frac = float((np.abs(a - b).max(axis=2) > 1e-3).mean())
+    assert frac < 0.01, frac

@@ -197,6 +197,7 @@ def test_edge_secondary_value_unchanged():
 
 @pytest.mark.slow
 def test_edge_secondary_recovers_occluder_gradient():
+    jax.clear_caches()  # see test_train_fused: the secondary grad compile is huge
     """Round-3 verdict item #1: on the adversarial occluder scene the
     secondary estimator must recover the spp-averaged finite-difference
     gradient of the off-frustum occluder's position within 2x (round-4

@@ -323,6 +323,10 @@ def test_fused_edge_grad_recovers_position():
 
 @pytest.mark.slow
 def test_fused_secondary_matches_xla_estimator():
+    # The XLA-secondary grad compile is the suite's biggest XLA build; on
+    # this small-RAM host it aborted when stacked on ~160 tests' worth of
+    # retained executables - drop them first.
+    jax.clear_caches()
     """On the adversarial occluder scene (only indirect light; the
     secondary term dominates), the fused secondary estimator must agree
     with the XLA edge_secondary estimator at matched spp=1 and leave the
@@ -356,6 +360,7 @@ def test_fused_secondary_matches_xla_estimator():
 
 @pytest.mark.slow
 def test_fused_secondary_nonwinner_tree():
+    jax.clear_caches()
     """csg_demo (subtraction -> map-vjp backend): the secondary rows route
     through the dedicated winner-leaf block; gradients stay finite, values
     unchanged, and the term adds signal."""
