@@ -475,13 +475,28 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                         e_dmin, e_tmin)
             return rng3, ro2, rd2, thr2, ret2, surv.astype(jnp.int32)
 
+        def bounce_loop(init):
+            if B1 > 1:
+                return lax.fori_loop(0, B1, fwd_body, init)
+            # fori_loop with trip count 1 is INLINED by JAX, which places
+            # the march outside any loop - the exact Mosaic relayout
+            # failure the in-loop placement exists to avoid (observed on
+            # the bounces=0 edge_grad CLI path, round 4).  A while_loop
+            # does not unroll.
+            carry = (jnp.int32(0),) + tuple(init)
+
+            def wbody(c):
+                return (c[0] + 1,) + tuple(fwd_body(c[0], c[1:]))
+
+            return lax.while_loop(lambda c: c[0] < 1, wbody, carry)[1:]
+
         init = (rng0, ro0, rd0, Vec3(one, one, one), Vec3(zero, zero, zero),
                 one.astype(jnp.int32))
         if edge_grad:
             init = init + (zero + jnp.float32(_BIG), zero)
             if edge_secondary:
                 init = init + (zero.astype(jnp.int32) - 1,)
-            out = lax.fori_loop(0, B1, fwd_body, init)
+            out = bounce_loop(init)
             ret, edge_dmin, edge_tmin = out[4], out[6], out[7]
             # Edge-estimator id recovery OUTSIDE the loop: the primary ray
             # (ro0, rd0) is loop-invariant, so bounce 0's bounds/anyhit set
@@ -503,7 +518,7 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 edge_tmin = jnp.where(closer, t_ca, edge_tmin)
                 edge_dmin = jnp.where(closer, d_ca, edge_dmin)
         else:
-            _, _, _, _, ret, _ = lax.fori_loop(0, B1, fwd_body, init)
+            _, _, _, _, ret, _ = bounce_loop(init)
 
         for c, comp in enumerate(ret):
             col_ref[c] = comp

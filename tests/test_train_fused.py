@@ -376,3 +376,22 @@ def test_fused_secondary_nonwinner_tree():
     g0, g2 = np.asarray(g0), np.asarray(g2)
     assert np.isfinite(g2).all()
     assert np.abs(g2 - g0).max() > 0.0
+
+
+def test_fused_bounces_zero_edge():
+    """bounces=0 (B1=1) regression: JAX inlines a trip-count-1 fori_loop,
+    which used to place the with_closest march outside any loop and trip
+    the Mosaic relayout failure on hardware (the CLI edge_demo fused
+    recovery path); the kernel now uses a non-unrolling while_loop there."""
+    from compute_path_tracer_tpu.scene import edge_demo
+
+    cs2 = compile_scene(edge_demo())
+    pv = jnp.asarray(cs2.params)
+    tgt = np.zeros((16, 32, 3), np.float32)
+    l, g = make_fused_value_and_grad(
+        cs2.spec, tgt, width=32, height=16, bounces=0, interpret=True,
+        edge_grad=True,
+    )(pv)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
