@@ -21,11 +21,14 @@ splits the backward exactly along that line:
   A = -g_p/(g_p.rd), B = A t* (all stop-gradded), whose vjp IS the implicit
   gradient of diff/vjp.py:make_implicit_cast, and g_p is reused from the
   6-tap central-difference normal the forward already computes.
-* **outside in XLA**: the only parameter-vector scatters - one batched map
-  vjp seeded with the kernel's per-bounce ``scale = -dL/dt / (g_p.rd)``
-  planes (the f_theta term of the implicit gradient), and the material
-  gather transpose seeded with the kernel's per-bounce material-channel
-  cotangent planes.  Both are a handful of cheap dense ops.
+* **outside in XLA**: the only parameter-vector scatters.  Union-only
+  trees (winner mode, round 4): the kernel reduces every cotangent to two
+  small grid-accumulated (n_shapes, C) sums on the MXU, so XLA only sees
+  the tiny slot-gather transposes.  General trees: one batched map vjp
+  seeded with the kernel's per-bounce ``scale = -dL/dt / (g_p.rd)`` planes
+  (the f_theta term of the implicit gradient), and the material gather
+  transpose seeded with the kernel's per-bounce material-channel cotangent
+  planes.  Both are a handful of cheap dense ops.
 
 Gradient semantics match diff/vjp.py's ``normals="detached"`` configuration
 (the documented fast-training approximation: the surface normal is treated
@@ -148,6 +151,11 @@ def _segment_matmul(seg_idx, cot, n_shapes):
     milliseconds of MXU matmul here.  ``idx == -1`` (miss/MDEF) lanes match
     no one-hot column and drop out, reproducing gather_material's validity
     masking.
+
+    Round 4: the winner-leaf (union-only) kernel no longer uses this - its
+    segment sums run IN-KERNEL on the MXU (:func:`_make_train_kernel`'s
+    ``seg_accumulate``), so only the non-union map-vjp path's secondary
+    edge rows still reduce here.
     """
     b1, n_chan = cot.shape[0], cot.shape[1]
     ids = jnp.arange(n_shapes, dtype=seg_idx.dtype)
@@ -273,7 +281,6 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
         raise ValueError("edge_secondary requires edge_grad")
     # Row layout of the extra edge segments: B1 = primary; B1 + b
     # (b = 1..B1-1) = the secondary coverage term of bounce b's segment.
-    B1E = 2 * B1 if edge_secondary else (B1 + 1 if edge_grad else B1)
     sec_march = _make_excl_closest(spec) if edge_secondary else None
     analytic = None
     if analytic_unboxed:
@@ -299,11 +306,16 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
         if edge_secondary:
             rest, (sec_d_s, sec_t_s, sec_i_s, ret_s) = rest[:-4], rest[-4:]
         if winner_geom:
-            # Winner mode: the per-segment ray state is kernel-internal
-            # (scratch) - the only HBM outputs the XLA reductions read are
-            # col, the winner ids and the cotangent channel planes.
-            (seg_idx_ref, mat_cot_ref, geom_cot_ref,
-             seg_ro_ref, seg_rd_ref, seg_t_ref, seg_scale_ref,
+            # Winner mode (round 4): ALL per-segment state is
+            # kernel-internal (scratch) and the per-(shape, channel)
+            # cotangent sums run in-kernel on the MXU, accumulated across
+            # the sequential grid into two small (S, C) outputs - the only
+            # HBM outputs are col, mat_acc and geom_acc.  This removes the
+            # B1 x C x H x W cotangent plane outputs (≈3 GB of HBM write +
+            # re-read at 1080p/8 bounces with secondary edges) AND the VMEM
+            # pressure that forced half-height tiles under edge_secondary.
+            (mat_acc_ref, geom_acc_ref,
+             seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
              thr_s, g_s, invd_s, rng_s, alive_s) = rest
         elif edge_secondary:
             (seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
@@ -324,6 +336,38 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
         seed_scale = fparams_ref[2]  # 2 / (H * W * 3)
         bv = bv_ref
         gather_mat = _make_smem_gather_mat(spec, params_ref)
+
+        if winner_geom:
+            # Grid-accumulated outputs: constant index_map keeps the block
+            # resident across the sequential TPU grid; zero it on the first
+            # visit, += on every tile.
+            first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+            @pl.when(first)
+            def _():
+                mat_acc_ref[...] = jnp.zeros_like(mat_acc_ref)
+                geom_acc_ref[...] = jnp.zeros_like(geom_acc_ref)
+
+        def seg_accumulate(idx_plane, targets):
+            """In-kernel segment sum: one (S, lanes) one-hot from the
+            winner-id plane, then an MXU matmul per target accumulator -
+            (S, lanes) @ (lanes, C) += acc.  HIGHEST precision keeps the
+            reduction exact-f32 (the MXU's bf16 input rounding measured
+            1.5e-3 relative error, benchmarks/probe_inkernel_segsum.py);
+            idx == -1 lanes match no row and drop out."""
+            lanes = tile_h * tile_w
+            idx_flat = idx_plane.reshape(-1)
+            ids = lax.broadcasted_iota(jnp.int32, (spec.n_shapes, lanes), 0)
+            oh = (ids == idx_flat[None, :]).astype(jnp.float32)
+            for planes, acc_ref in targets:
+                cots = jnp.concatenate(
+                    [p.reshape(1, lanes) for p in planes], axis=0
+                )
+                acc_ref[...] += lax.dot_general(
+                    oh, cots, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
 
         y0 = pl.program_id(0) * tile_h + row_offset
         x0 = pl.program_id(1) * tile_w
@@ -622,17 +666,20 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 (ro_c, rd_c, thr_c, col_cot)
             )
             scale_b = -t_cot * invd_b
-            seg_scale_ref[b] = scale_b
-            for c, cot in enumerate(_mat_flat(mat_cot)):
-                mat_cot_ref[b, c] = cot
-
             if winner_geom:
                 # Winner-leaf parameter partials: per pixel, the f_theta
                 # cotangent of a union-only map flows only through the
-                # argmin leaf (a min-fold's vjp).
+                # argmin leaf (a min-fold's vjp).  Both channel families
+                # share this bounce's one-hot and reduce in-kernel.
                 ch = winner_leaf_channels(ro_b + rd_b * t_b, idx_b, scale_b)
-                for c in range(GEOM_CHANNELS):
-                    geom_cot_ref[b, c] = ch[c]
+                seg_accumulate(idx_b, (
+                    (_mat_flat(mat_cot), mat_acc_ref),
+                    (ch, geom_acc_ref),
+                ))
+            else:
+                seg_scale_ref[b] = scale_b
+                for c, cot in enumerate(_mat_flat(mat_cot)):
+                    mat_cot_ref[b, c] = cot
 
         if edge_grad:
             # Primary-silhouette coverage term (diff/vjp.py edge_grad
@@ -654,13 +701,12 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             w = -(col_cot.x * proxy.x + col_cot.y * proxy.y
                   + col_cot.z * proxy.z) * sig_p / beta
             w = jnp.where(edge_imin >= 0, w, 0.0)
-            ebs = pl.ds(B1, 1)
-            seg_idx_ref[ebs] = edge_imin[None]
             if winner_geom:
                 ch = winner_leaf_channels(ro0 + rd0 * edge_tmin, edge_imin, w)
-                for c in range(GEOM_CHANNELS):
-                    geom_cot_ref[B1, c] = ch[c]
+                seg_accumulate(edge_imin, ((ch, geom_acc_ref),))
             else:
+                ebs = pl.ds(B1, 1)
+                seg_idx_ref[ebs] = edge_imin[None]
                 for c, comp in enumerate(ro0):
                     seg_ro_ref[ebs, c] = comp[None]
                 for c, comp in enumerate(rd0):
@@ -703,9 +749,7 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 w2 = jnp.where((i2 >= 0) & alive_b, w2, 0.0)
                 ch2 = winner_leaf_channels(ro_b + rd_b * t2, i2, w2)
                 if winner_geom:
-                    seg_idx_ref[pl.ds(B1 + b, 1)] = i2[None]
-                    for c in range(GEOM_CHANNELS):
-                        geom_cot_ref[B1 + b, c] = ch2[c]
+                    seg_accumulate(i2, ((ch2, geom_acc_ref),))
                 else:
                     seg2_idx_ref[pl.ds(b - 1, 1)] = i2[None]
                     for c in range(GEOM_CHANNELS):
@@ -730,7 +774,6 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
     # Primary-extended row count for the seg_* blocks; the winner-mode
     # seg_idx/geom_cot blocks additionally carry the B1-1 secondary rows.
     B1P = B1 + 1 if edge_grad else B1
-    B1E = 2 * B1 if (edge_secondary and winner_geom) else B1P
     ph, pw = target_planes.shape[1], target_planes.shape[2]
     grid = (ph // tile_h, pw // tile_w)
     iparams = jnp.stack([jnp.asarray(frame, jnp.int32),
@@ -760,19 +803,28 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
 
     f32 = jnp.float32
     if winner_geom:
+        # In-kernel segment reduction (round 4): the only HBM outputs are
+        # the color planes and the two small grid-accumulated (S, C) sums;
+        # a constant index_map keeps each accumulator block resident
+        # across the sequential grid.
+        S = spec.n_shapes
         out_shape = (
             jax.ShapeDtypeStruct((3, ph, pw), f32),            # col
-            jax.ShapeDtypeStruct((B1E, ph, pw), jnp.int32),    # seg_idx
-            jax.ShapeDtypeStruct((B1, len(_MAT_CHANNELS), ph, pw), f32),
-            jax.ShapeDtypeStruct((B1E, GEOM_CHANNELS, ph, pw), f32),
+            jax.ShapeDtypeStruct((S, len(_MAT_CHANNELS)), f32),  # mat_acc
+            jax.ShapeDtypeStruct((S, GEOM_CHANNELS), f32),       # geom_acc
         )
-        out_specs = (tile3(3), tileb(B1E), tile4(len(_MAT_CHANNELS)),
-                     tile4(GEOM_CHANNELS, B1E))
+
+        def acc_spec(c):
+            return pl.BlockSpec((S, c), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        out_specs = (tile3(3), acc_spec(len(_MAT_CHANNELS)),
+                     acc_spec(GEOM_CHANNELS))
         seg_scratch = [
             pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_ro
             pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # seg_rd
             pltpu.VMEM((B1, tile_h, tile_w), f32),         # seg_t
-            pltpu.VMEM((B1, tile_h, tile_w), f32),         # seg_scale
+            pltpu.VMEM((B1, tile_h, tile_w), jnp.int32),   # seg_idx
         ]
     else:
         out_shape = (
@@ -858,7 +910,7 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
     )
     seg2_idx = geom2_cot = None
     if winner_geom:
-        col, seg_idx, mat_cot, geom_cot = outs
+        col, mat_acc, geom_acc = outs
     elif edge_secondary:
         (col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot,
          seg2_idx, geom2_cot) = outs
@@ -874,16 +926,15 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         return x.reshape(-1, pw)
 
     if winner_geom:
-        # Winner-leaf backend: the kernel already emitted per-pixel
-        # parameter partials x scale for each pixel's argmin leaf; what's
-        # left is the same segment-sum-by-winner-id scatter the material
-        # path uses, through the GEOMETRY slot matrix.
+        # Winner-leaf backend (round 4): the kernel already reduced the
+        # per-pixel partials to per-(shape, channel) sums in-kernel on the
+        # MXU; what's left is masking invalid channels and the tiny
+        # geometry-slot gather transpose.
         gslots = baked_geom_slot_matrix(spec)
         valid = jnp.asarray(gslots >= 0, jnp.float32)
         safe_slots = jnp.asarray(np.maximum(gslots, 0))
         _gtab, gtab_vjp = jax.vjp(lambda b: b[safe_slots], bv)
-        gt_cot = _segment_matmul(seg_idx, geom_cot, spec.n_shapes) * valid
-        (gv_cot,) = gtab_vjp(gt_cot)
+        (gv_cot,) = gtab_vjp(geom_acc * valid)
     else:
         RO = Vec3(rows(seg_ro[:, 0]), rows(seg_ro[:, 1]), rows(seg_ro[:, 2]))
         RD = Vec3(rows(seg_rd[:, 0]), rows(seg_rd[:, 1]), rows(seg_rd[:, 2]))
@@ -919,11 +970,13 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
             gv_cot = gv_cot + gv2
     (g_geom,) = bake_vjp(gv_cot)
 
-    # Material term: per-(shape, channel) sums by winner id (one-hot
-    # matmuls), then the small (n_shapes x 18) scatter into params.
+    # Material term: per-(shape, channel) sums by winner id (in-kernel in
+    # winner mode, one-hot matmuls here otherwise), then the small
+    # (n_shapes x 18) scatter into params.
     slots = jnp.asarray(material_slot_matrix(spec))
     mat_table, tab_vjp = jax.vjp(lambda pp: pp[slots], params)
-    g_chan = _segment_matmul(seg_idx, mat_cot, spec.n_shapes)
+    g_chan = (mat_acc if winner_geom
+              else _segment_matmul(seg_idx, mat_cot, spec.n_shapes))
     mt_cot = jnp.zeros_like(mat_table)
     mt_cot = mt_cot.at[:, jnp.asarray(_MAT_CHANNELS)].set(g_chan)
     (g_mat,) = tab_vjp(mt_cot)
@@ -983,10 +1036,12 @@ def make_fused_value_and_grad(
     if aspect is None:
         aspect = width / height
     th, tw = tile
-    if edge_secondary and tile == DEFAULT_TILE:
-        # The B1-1 secondary cotangent rows push the (32,128) kernel ~1.4MB
-        # past the 16MB scoped-VMEM limit at 8 bounces; half-height tiles
-        # fit with room (measured OOM at the bench config, round 4).
+    if edge_secondary and tile == DEFAULT_TILE and not _union_only(spec):
+        # Map-vjp mode only: the B1-1 secondary cotangent PLANE outputs
+        # push the (32,128) kernel ~1.4MB past the 16MB scoped-VMEM limit
+        # at 8 bounces; half-height tiles fit with room (measured OOM at
+        # the bench config, round 4).  Winner mode reduces in-kernel and
+        # keeps the full tile.
         th = 16
     th = min(th, -(-height // 8) * 8) if height < th else th
     target_planes = _pad_planes(
