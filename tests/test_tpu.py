@@ -155,6 +155,43 @@ def make_loss_detached(cs, target):
                      geometry="baked", normals="detached", march="xla")
 
 
+def test_fused_winner_mode_on_chip(cpu):
+    """WINNER mode (union-only tree) of the fused kernel on real hardware,
+    in every edge configuration - this is the path that runs the in-kernel
+    MXU segment reductions (kernels/train.py:seg_accumulate, round 4) and
+    the grid-accumulated (n_shapes, C) outputs, which csg_demo's
+    subtraction tree (the test above) never exercises.  Oracle: the same
+    step in interpret mode on CPU (identical semantics; the HIGHEST-
+    precision matmul keeps the reduction exact-f32, so only cross-platform
+    transcendental ulps remain - band 1e-4 of the gradient scale, with the
+    secondary config's extra exclusion march allowed 2e-4)."""
+    from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
+    from compute_path_tracer_tpu.render.baked import spec_is_union_only
+    from compute_path_tracer_tpu.scene import compile_scene, sphere_and_plane
+
+    scs = compile_scene(sphere_and_plane())
+    assert spec_is_union_only(scs.spec)
+    target = np.random.default_rng(7).random((H, W, 3)).astype(np.float32)
+    pv = jnp.asarray(scs.params)
+    for cfg, tol in ((dict(), 1e-4), (dict(edge_grad=True), 1e-4),
+                     (dict(edge_grad=True, edge_secondary=True), 2e-4)):
+        step = make_fused_value_and_grad(scs.spec, target, width=W, height=H,
+                                         bounces=1, **cfg)
+        val, grad = step(pv)
+        grad = np.asarray(grad)
+        assert np.isfinite(float(val)) and np.isfinite(grad).all(), cfg
+        with jax.default_device(cpu):
+            step_c = make_fused_value_and_grad(scs.spec, target, width=W,
+                                               height=H, bounces=1,
+                                               interpret=True, **cfg)
+            val_c, grad_c = step_c(jnp.asarray(scs.params))
+        np.testing.assert_allclose(float(val), float(val_c), rtol=1e-5)
+        grad_c = np.asarray(grad_c)
+        scale = np.abs(grad_c).max()
+        np.testing.assert_allclose(grad, grad_c, atol=tol * scale,
+                                   err_msg=str(cfg))
+
+
 def test_benchmark_scene_compiles_on_chip():
     """The 64-prim benchmark scene's megakernel Mosaic-compiles and runs at
     reduced resolution (guards the bench.py configuration)."""
