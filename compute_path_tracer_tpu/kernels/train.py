@@ -152,10 +152,10 @@ def _segment_matmul(seg_idx, cot, n_shapes):
     no one-hot column and drop out, reproducing gather_material's validity
     masking.
 
-    Round 4: the winner-leaf (union-only) kernel no longer uses this - its
-    segment sums run IN-KERNEL on the MXU (:func:`_make_train_kernel`'s
-    ``seg_accumulate``), so only the non-union map-vjp path's secondary
-    edge rows still reduce here.
+    Round 4: the winner-leaf (union-only) kernel and every secondary edge
+    row reduce IN-KERNEL on the MXU instead (:func:`_make_train_kernel`'s
+    ``seg_accumulate``); only the non-union map-vjp path's MATERIAL
+    cotangent planes still reduce here.
     """
     b1, n_chan = cot.shape[0], cot.shape[1]
     ids = jnp.arange(n_shapes, dtype=seg_idx.dtype)
@@ -319,7 +319,7 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
              thr_s, g_s, invd_s, rng_s, alive_s) = rest
         elif edge_secondary:
             (seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
-             seg_scale_ref, mat_cot_ref, seg2_idx_ref, geom2_cot_ref,
+             seg_scale_ref, mat_cot_ref, geom2_acc_ref,
              thr_s, g_s, invd_s, rng_s, alive_s) = rest
         else:
             (seg_ro_ref, seg_rd_ref, seg_t_ref, seg_idx_ref,
@@ -337,16 +337,21 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
         bv = bv_ref
         gather_mat = _make_smem_gather_mat(spec, params_ref)
 
-        if winner_geom:
+        if winner_geom or edge_secondary:
             # Grid-accumulated outputs: constant index_map keeps the block
             # resident across the sequential TPU grid; zero it on the first
-            # visit, += on every tile.
+            # visit, += on every tile.  (Non-winner mode accumulates only
+            # the secondary coverage rows; its implicit/material cotangents
+            # stay plane outputs for the XLA map vjp.)
             first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
             @pl.when(first)
             def _():
-                mat_acc_ref[...] = jnp.zeros_like(mat_acc_ref)
-                geom_acc_ref[...] = jnp.zeros_like(geom_acc_ref)
+                if winner_geom:
+                    mat_acc_ref[...] = jnp.zeros_like(mat_acc_ref)
+                    geom_acc_ref[...] = jnp.zeros_like(geom_acc_ref)
+                else:
+                    geom2_acc_ref[...] = jnp.zeros_like(geom2_acc_ref)
 
         def seg_accumulate(idx_plane, targets):
             """In-kernel segment sum: one (S, lanes) one-hot from the
@@ -748,12 +753,9 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                        + col_cot.z * prox.z) * sig2 / beta2
                 w2 = jnp.where((i2 >= 0) & alive_b, w2, 0.0)
                 ch2 = winner_leaf_channels(ro_b + rd_b * t2, i2, w2)
-                if winner_geom:
-                    seg_accumulate(i2, ((ch2, geom_acc_ref),))
-                else:
-                    seg2_idx_ref[pl.ds(b - 1, 1)] = i2[None]
-                    for c in range(GEOM_CHANNELS):
-                        geom2_cot_ref[b - 1, c] = ch2[c]
+                seg_accumulate(
+                    i2, ((ch2, geom_acc_ref if winner_geom
+                          else geom2_acc_ref),))
 
     return kernel
 
@@ -839,12 +841,17 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
         out_specs = (tile3(3), tile4(3, B1P), tile4(3, B1P), tileb(B1P),
                      tileb(B1P), tileb(B1P), tile4(len(_MAT_CHANNELS)))
         if edge_secondary:
+            # Secondary coverage rows reduce in-kernel (round 4): one small
+            # grid-accumulated (n_shapes, GEOM_CHANNELS) sum instead of the
+            # B1-1 winner-id + cotangent plane outputs.
+            S = spec.n_shapes
             out_shape = out_shape + (
-                jax.ShapeDtypeStruct((B1 - 1, ph, pw), jnp.int32),
-                jax.ShapeDtypeStruct((B1 - 1, GEOM_CHANNELS, ph, pw), f32),
+                jax.ShapeDtypeStruct((S, GEOM_CHANNELS), f32),
             )
-            out_specs = out_specs + (tileb(B1 - 1),
-                                     tile4(GEOM_CHANNELS, B1 - 1))
+            out_specs = out_specs + (
+                pl.BlockSpec((S, GEOM_CHANNELS), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            )
         seg_scratch = []
     scratch = seg_scratch + [
         pltpu.VMEM((B1, 3, tile_h, tile_w), f32),      # thr
@@ -908,12 +915,12 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         edge_grad=edge_grad, edge_beta=edge_beta,
         edge_secondary=edge_secondary, edge_beta2=edge_beta2,
     )
-    seg2_idx = geom2_cot = None
+    geom2_acc = None
     if winner_geom:
         col, mat_acc, geom_acc = outs
     elif edge_secondary:
         (col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot,
-         seg2_idx, geom2_cot) = outs
+         geom2_acc) = outs
     else:
         col, seg_ro, seg_rd, seg_t, seg_idx, seg_scale, mat_cot = outs
     sse = jnp.sum(
@@ -960,13 +967,13 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         if edge_secondary:
             # Secondary coverage rows: winner-leaf partials even in the
             # map-vjp (non-union) mode - the estimator is leaf-based by
-            # construction, so the leaf attribution is the right one.
+            # construction, so the leaf attribution is the right one; the
+            # per-(shape, channel) sums arrive pre-reduced from the kernel.
             gslots = baked_geom_slot_matrix(spec)
             valid = jnp.asarray(gslots >= 0, jnp.float32)
             safe_slots = jnp.asarray(np.maximum(gslots, 0))
             _gtab, gtab_vjp = jax.vjp(lambda b: b[safe_slots], bv)
-            gt2 = _segment_matmul(seg2_idx, geom2_cot, spec.n_shapes) * valid
-            (gv2,) = gtab_vjp(gt2)
+            (gv2,) = gtab_vjp(geom2_acc * valid)
             gv_cot = gv_cot + gv2
     (g_geom,) = bake_vjp(gv_cot)
 
