@@ -868,101 +868,100 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         x0 = pl.program_id(1) * tile_w
         gather_mat = _make_smem_gather_mat(spec, params_ref)
 
-        if True:
-            xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-            ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
 
-            # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
-            rng = gen_rng(xs, ys, frame, width, height)
-            rng, jx = random_float01(rng)
-            rng, jy = random_float01(rng)
-            u, v = calc_uv(
-                xs.astype(jnp.float32) + (jx - 0.5),
-                ys.astype(jnp.float32) + (jy - 0.5),
-                width,
-                height,
-                aspect,
+        # Per-pixel RNG + AA jitter + camera (test_compute.glsl:218-235).
+        rng = gen_rng(xs, ys, frame, width, height)
+        rng, jx = random_float01(rng)
+        rng, jy = random_float01(rng)
+        u, v = calc_uv(
+            xs.astype(jnp.float32) + (jx - 0.5),
+            ys.astype(jnp.float32) + (jy - 0.5),
+            width,
+            height,
+            aspect,
+        )
+        ro, rd = primary_ray(u, v, fov)
+
+        if debug in (0, 3):
+            col, i_exit = _path_trace_tile(
+                map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
+                pv, rng, bounces,
+                normal_fn=normal_fn, t_cull=t_cull, omega=omega,
+                analytic=analytic, refresh_every=refresh_every,
             )
-            ro, rd = primary_ray(u, v, fov)
-
-            if debug in (0, 3):
-                col, i_exit = _path_trace_tile(
-                    map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
-                    pv, rng, bounces,
-                    normal_fn=normal_fn, t_cull=t_cull, omega=omega,
-                    analytic=analytic, refresh_every=refresh_every,
+            if debug == 3:
+                col = Vec3.splat(
+                    i_exit.astype(jnp.float32) / bounces.astype(jnp.float32)
                 )
-                if debug == 3:
-                    col = Vec3.splat(
-                        i_exit.astype(jnp.float32) / bounces.astype(jnp.float32)
-                    )
-            elif debug == 4:
-                # Perf diagnostics (tile-uniform, t_cull only): x = total
-                # march steps across the bounce loop, y = per-step sum of
-                # tile-active shape counts, z = mean exit bounce.  Not a
-                # reference mode; feeds benchmarks/diagnose.py.
-                _col, i_exit, steps_tot, act_tot, aux_tot = _path_trace_tile(
-                    map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
-                    pv, rng, bounces,
-                    normal_fn=normal_fn, t_cull=t_cull, stats=True,
-                    analytic=analytic,
-                )
-                zero2 = jnp.zeros((tile_h, tile_w), jnp.float32)
-                col = Vec3(
-                    zero2 + steps_tot,
-                    zero2 + act_tot,
-                    zero2 + aux_tot,
-                )
-            elif debug in (1, 2):
-                # Debug modes march with the round-1 ID-CARRYING fold
-                # (_march_while_ids): the distance-only map's guarded-select
-                # conds fail Mosaic layout inference when invoked outside
-                # the debug-0 bounce loop ("Invalid relayout ... replicated
-                # in destination but not in source", caught by `pytest -m
-                # tpu`); the ids fold compiles everywhere and these paths
-                # are single-march diagnostics where its extra int32 selects
-                # cost nothing measurable.  [Mosaic workaround; observed on
-                # jax/jaxlib 0.9.0 + libtpu 0.0.34 - see
-                # tests/test_tpu.py:test_mosaic_workaround_toolchain_witness]
-                if t_cull:
-                    checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
-                    ivals = _interval_scalars(checks, tns, tfs)
-                else:
-                    checks, dbg = bounds_fn(ro, rd, pv)
-                    zero_s = jnp.float32(0.0)
-                    big_s = jnp.float32(_BIG)
-                    ivals = tuple(
-                        None if a is None else (a, zero_s, big_s)
-                        for a in _anyhit(checks)
-                    )
-                anyhit = _anyhit(checks)
-
-                def map_fn(p, pv_, checks_):
-                    return map_culled(p, pv_, checks_, anyhit)
-
-                t, idx = _march_while_ids(map_culled, ro, rd, pv, checks,
-                                          ivals)
-                if debug == 1:
-                    # normals + AABB tint (test_compute.glsl:170-179)
-                    n = normal_fn(map_fn, ro + rd * t, pv, checks)
-                    shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
-                    col = vwhere(t > FP, Vec3.splat(dbg), shaded)
-                else:
-                    # first-hit albedo (test_compute.glsl:183-195)
-                    col = gather_mat(idx).col
+        elif debug == 4:
+            # Perf diagnostics (tile-uniform, t_cull only): x = total
+            # march steps across the bounce loop, y = per-step sum of
+            # tile-active shape counts, z = mean exit bounce.  Not a
+            # reference mode; feeds benchmarks/diagnose.py.
+            _col, i_exit, steps_tot, act_tot, aux_tot = _path_trace_tile(
+                map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
+                pv, rng, bounces,
+                normal_fn=normal_fn, t_cull=t_cull, stats=True,
+                analytic=analytic,
+            )
+            zero2 = jnp.zeros((tile_h, tile_w), jnp.float32)
+            col = Vec3(
+                zero2 + steps_tot,
+                zero2 + act_tot,
+                zero2 + aux_tot,
+            )
+        elif debug in (1, 2):
+            # Debug modes march with the round-1 ID-CARRYING fold
+            # (_march_while_ids): the distance-only map's guarded-select
+            # conds fail Mosaic layout inference when invoked outside
+            # the debug-0 bounce loop ("Invalid relayout ... replicated
+            # in destination but not in source", caught by `pytest -m
+            # tpu`); the ids fold compiles everywhere and these paths
+            # are single-march diagnostics where its extra int32 selects
+            # cost nothing measurable.  [Mosaic workaround; observed on
+            # jax/jaxlib 0.9.0 + libtpu 0.0.34 - see
+            # tests/test_tpu.py:test_mosaic_workaround_toolchain_witness]
+            if t_cull:
+                checks, tns, tfs, dbg = bounds_fn(ro, rd, pv)
+                ivals = _interval_scalars(checks, tns, tfs)
             else:
-                col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
+                checks, dbg = bounds_fn(ro, rd, pv)
+                zero_s = jnp.float32(0.0)
+                big_s = jnp.float32(_BIG)
+                ivals = tuple(
+                    None if a is None else (a, zero_s, big_s)
+                    for a in _anyhit(checks)
+                )
+            anyhit = _anyhit(checks)
 
-            if debug != 0:
-                out_ref[0] = col.x
-                out_ref[1] = col.y
-                out_ref[2] = col.z
+            def map_fn(p, pv_, checks_):
+                return map_culled(p, pv_, checks_, anyhit)
+
+            t, idx = _march_while_ids(map_culled, ro, rd, pv, checks,
+                                      ivals)
+            if debug == 1:
+                # normals + AABB tint (test_compute.glsl:170-179)
+                n = normal_fn(map_fn, ro + rd * t, pv, checks)
+                shaded = (n.normalize_safe() * 0.5 + 0.5) * 0.2 + Vec3.splat(dbg)
+                col = vwhere(t > FP, Vec3.splat(dbg), shaded)
             else:
-                # Progressive running mean (test_compute.glsl:242-245).
-                w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
-                out_ref[0] = accum_ref[0] * (1.0 - w) + col.x * w
-                out_ref[1] = accum_ref[1] * (1.0 - w) + col.y * w
-                out_ref[2] = accum_ref[2] * (1.0 - w) + col.z * w
+                # first-hit albedo (test_compute.glsl:183-195)
+                col = gather_mat(idx).col
+        else:
+            col = Vec3.splat(jnp.zeros((tile_h, tile_w), jnp.float32))
+
+        if debug != 0:
+            out_ref[0] = col.x
+            out_ref[1] = col.y
+            out_ref[2] = col.z
+        else:
+            # Progressive running mean (test_compute.glsl:242-245).
+            w = 1.0 / (last_clear.astype(jnp.float32) + 1.0)
+            out_ref[0] = accum_ref[0] * (1.0 - w) + col.x * w
+            out_ref[1] = accum_ref[1] * (1.0 - w) + col.y * w
+            out_ref[2] = accum_ref[2] * (1.0 - w) + col.z * w
 
     return kernel
 

@@ -167,6 +167,7 @@ def _segment_matmul(seg_idx, cot, n_shapes):
         out = out + lax.dot_general(
             oh, cots, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
     return out
 
@@ -279,8 +280,10 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     # structurally zero (ROADMAP round-3 finding #2).
     if edge_secondary and not edge_grad:
         raise ValueError("edge_secondary requires edge_grad")
-    # Row layout of the extra edge segments: B1 = primary; B1 + b
-    # (b = 1..B1-1) = the secondary coverage term of bounce b's segment.
+    # Row layout of the extra edge segments (non-winner seg_* outputs only;
+    # winner mode reduces everything in-kernel into (n_shapes, C)
+    # accumulators): B1 = primary; B1 + b (b = 1..B1-1) = the secondary
+    # coverage term of bounce b's segment.
     sec_march = _make_excl_closest(spec) if edge_secondary else None
     analytic = None
     if analytic_unboxed:
@@ -773,8 +776,9 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   analytic_unboxed=False, edge_grad=False, edge_beta=0.5,
                   edge_secondary=False, edge_beta2=0.5):
     B1 = bounces + 1
-    # Primary-extended row count for the seg_* blocks; the winner-mode
-    # seg_idx/geom_cot blocks additionally carry the B1-1 secondary rows.
+    # Primary-extended row count for the NON-WINNER seg_* output blocks
+    # (winner mode emits no seg_idx/geom_cot planes at all - it reduces
+    # in-kernel into (n_shapes, C) accumulators, round 4).
     B1P = B1 + 1 if edge_grad else B1
     ph, pw = target_planes.shape[1], target_planes.shape[2]
     grid = (ph // tile_h, pw // tile_w)
@@ -874,6 +878,13 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # The resident-accumulator outputs (constant index_map, zeroed at
+        # program_id == 0, += per tile) require every grid dimension to
+        # execute sequentially on one core; pin that invariant instead of
+        # relying on the implicit default.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(iparams, fparams, params, bv, target_planes)
 
