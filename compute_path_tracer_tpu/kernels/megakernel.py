@@ -37,12 +37,19 @@ from ..ops.aabb import aabb_hit, intersect_aabb
 from ..ops.camera import calc_uv, primary_ray
 from ..ops.rng import gen_rng, random_float01
 from ..render.baked import (
+    analytic_all_plan,
     bake,
     baked_shapes_in_order,
     make_bounds_baked,
     make_map_baked,
     make_map_baked_d,
     spec_is_union_only,
+)
+from ..render.distgrid import (
+    DEFAULT_RES as GRID_DEFAULT_RES,
+    bake_dist_grid,
+    grid_eligible,
+    make_grid_tap,
 )
 from ..render.reference import Mat, calc_normal, calc_normal_autodiff, shade_bounce
 from ..render.scenegen import (
@@ -146,6 +153,151 @@ def _final_idx(map_ids, ro, rd, pv, checks, anyhit, t, t_prev):
     return jnp.where(t > FP, -1, mi)
 
 
+def _cube_rows_of(bs, bv):
+    o = bs.off
+    M = tuple(bv[o + i] for i in range(9))
+    c = (bv[o + 9], bv[o + 10], bv[o + 11])
+    b = (bv[o + 12], bv[o + 13], bv[o + 14])
+    return M, c, b
+
+
+_OCT_AXES = ((1.0, 1.0, 1.0), (1.0, 1.0, -1.0),
+             (1.0, -1.0, 1.0), (1.0, -1.0, -1.0))
+
+
+def _slab_polytope_t(oqs, dqs, bs_):
+    """Nearest ray hit of a convex slab intersection |oq_k + t dq_k| <= b_k
+    (cube: 3 axis slabs; octahedron: 4 diagonal slabs).  Exit face when the
+    origin is inside; BIG when missed entirely."""
+    lo = jnp.full_like(oqs[0], -_BIG)
+    hi = jnp.full_like(oqs[0], _BIG)
+    for oq, dq, b in zip(oqs, dqs, bs_):
+        ok = jnp.abs(dq) > 1e-9
+        inv = 1.0 / jnp.where(ok, dq, 1.0)
+        ta = (-b - oq) * inv
+        tb = (b - oq) * inv
+        axlo = jnp.minimum(ta, tb)
+        axhi = jnp.maximum(ta, tb)
+        inside = jnp.abs(oq) <= b
+        axlo = jnp.where(ok, axlo, jnp.where(inside, -_BIG, _BIG))
+        axhi = jnp.where(ok, axhi, jnp.where(inside, _BIG, -_BIG))
+        lo = jnp.maximum(lo, axlo)
+        hi = jnp.minimum(hi, axhi)
+    hit = (lo <= hi) & (hi > 0.0)
+    return jnp.where(hit, jnp.where(lo > 0.0, lo, hi), _BIG)
+
+
+def _leaf_analytic_t(bs, ro, rd, bv):
+    """Closed-form nearest ray hit of one baked leaf (BIG when none).
+
+    Shared by the unboxed analytic cap (round 3/4) and the full-analytic
+    bounce (round 5).  Plane: one linear solve; sphere: quadratic, taking
+    the exit root when the origin is inside; cube: 3-slab test in the
+    orthonormal baked leaf frame (uniform scales), exit face from inside;
+    octahedron: the same slab test over its 4 diagonal half-space pairs
+    (|x|+|y|+|z| <= s is the intersection of |(+-1,+-1,+-1) . q| <= s).
+    """
+    from ..scene.model import KIND_CUBE, KIND_OCTAHEDRON, KIND_PLANE
+
+    o = bs.off
+    if bs.kind in (KIND_CUBE, KIND_OCTAHEDRON):
+        M, c, b = _cube_rows_of(bs, bv)
+
+        def row(r, v, add):
+            return (M[3 * r] * v.x + M[3 * r + 1] * v.y + M[3 * r + 2] * v.z
+                    + (add[r] if add else 0.0))
+
+        oq = tuple(row(r, ro, c) for r in range(3))
+        dq = tuple(row(r, rd, None) for r in range(3))
+        if bs.kind == KIND_CUBE:
+            return _slab_polytope_t(oq, dq, b)
+        s = bv[o + 12]
+        oqs = tuple(ax[0] * oq[0] + ax[1] * oq[1] + ax[2] * oq[2]
+                    for ax in _OCT_AXES)
+        dqs = tuple(ax[0] * dq[0] + ax[1] * dq[1] + ax[2] * dq[2]
+                    for ax in _OCT_AXES)
+        return _slab_polytope_t(oqs, dqs, (s,) * 4)
+    if bs.kind == KIND_PLANE:
+        denom = bv[o] * rd.x + bv[o + 1] * rd.y + bv[o + 2] * rd.z
+        f0 = (bv[o] * ro.x + bv[o + 1] * ro.y + bv[o + 2] * ro.z
+              + bv[o + 3])
+        ok = jnp.abs(denom) > 1e-12
+        t = jnp.where(ok, -f0 / jnp.where(ok, denom, 1.0), _BIG)
+        return jnp.where(t > 0.0, t, _BIG)
+    # sphere
+    ocx = ro.x - bv[o]
+    ocy = ro.y - bv[o + 1]
+    ocz = ro.z - bv[o + 2]
+    r = bv[o + 3]
+    b = ocx * rd.x + ocy * rd.y + ocz * rd.z
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - c  # |rd| == 1
+    hit = disc >= 0.0
+    root = jnp.sqrt(jnp.where(hit, disc, 0.0))
+    t0 = -b - root
+    t1 = -b + root
+    t = jnp.where(t0 > 0.0, t0, jnp.where(t1 > 0.0, t1, _BIG))
+    return jnp.where(hit, t, _BIG)
+
+
+def _leaf_analytic_normal(bs, p, bv):
+    """Exact surface normal of one baked leaf at (near-)surface point p."""
+    from ..scene.model import KIND_CUBE, KIND_OCTAHEDRON, KIND_PLANE
+
+    o = bs.off
+    zero = jnp.zeros_like(p.x)
+    if bs.kind == KIND_OCTAHEDRON:
+        M, c, _b = _cube_rows_of(bs, bv)
+        q = tuple(
+            M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
+            + c[r] for r in range(3)
+        )
+        s = bv[o + 12]
+        vals = tuple(ax[0] * q[0] + ax[1] * q[1] + ax[2] * q[2]
+                     for ax in _OCT_AXES)
+        # Hit face = diagonal slab whose |value| reaches s; leaf normal is
+        # that diagonal signed by the value, world = Mw^T n (orthonormal).
+        best = jnp.full_like(p.x, -_BIG)
+        nl = [zero, zero, zero]
+        for ax, v in zip(_OCT_AXES, vals):
+            r = jnp.abs(v) - s
+            take = r > best
+            best = jnp.where(take, r, best)
+            sg = jnp.sign(v)
+            nl = [jnp.where(take, sg * ax[i], nl[i]) for i in range(3)]
+        return Vec3(
+            M[0] * nl[0] + M[3] * nl[1] + M[6] * nl[2],
+            M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
+            M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
+        ).normalize_safe()
+    if bs.kind == KIND_CUBE:
+        M, c, b = _cube_rows_of(bs, bv)
+        q = tuple(
+            M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
+            + c[r] for r in range(3)
+        )
+        # Hit face = axis where |q| reaches its half-extent; the leaf
+        # normal is that axis signed by q, rotated back to world with
+        # Mw^T (orthonormal).
+        r0 = jnp.abs(q[0]) - b[0]
+        r1 = jnp.abs(q[1]) - b[1]
+        r2 = jnp.abs(q[2]) - b[2]
+        ax0 = (r0 >= r1) & (r0 >= r2)
+        ax1 = (~ax0) & (r1 >= r2)
+        nl = (jnp.where(ax0, jnp.sign(q[0]), 0.0),
+              jnp.where(ax1, jnp.sign(q[1]), 0.0),
+              jnp.where(ax0 | ax1, 0.0, jnp.sign(q[2])))
+        return Vec3(
+            M[0] * nl[0] + M[3] * nl[1] + M[6] * nl[2],
+            M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
+            M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
+        ).normalize_safe()
+    if bs.kind == KIND_PLANE:
+        return Vec3(zero + bv[o], zero + bv[o + 1], zero + bv[o + 2])
+    return Vec3(p.x - bv[o], p.y - bv[o + 1],
+                p.z - bv[o + 2]).normalize_safe()
+
+
 def _make_analytic_unboxed(spec: SceneSpec):
     """Closed-form intersection of the ELIGIBLE guard-less shapes
     (``if (true)`` in the reference codegen: infinite planes, unbounded
@@ -184,71 +336,11 @@ def _make_analytic_unboxed(spec: SceneSpec):
         bs for bs in baked_shapes_in_order(spec) if bs.shape_id in eligible
     )
 
-    def _cube_rows(bs, bv):
-        o = bs.off
-        M = tuple(bv[o + i] for i in range(9))
-        c = (bv[o + 9], bv[o + 10], bv[o + 11])
-        b = (bv[o + 12], bv[o + 13], bv[o + 14])
-        return M, c, b
-
-    def _cube_leaf_ray(bs, ro, rd, bv):
-        M, c, b = _cube_rows(bs, bv)
-
-        def row(r, v, add):
-            return (M[3 * r] * v.x + M[3 * r + 1] * v.y + M[3 * r + 2] * v.z
-                    + (add[r] if add else 0.0))
-
-        oq = tuple(row(r, ro, c) for r in range(3))
-        dq = tuple(row(r, rd, None) for r in range(3))
-        return oq, dq, b
-
     def cap_fn(ro, rd, bv):
         t_cap = jnp.full_like(ro.x, _BIG)
         cap_idx = jnp.full(ro.x.shape, -1, jnp.int32)
         for bs in unboxed:
-            o = bs.off
-            if bs.kind == KIND_CUBE:
-                oq, dq, b = _cube_leaf_ray(bs, ro, rd, bv)
-                lo = jnp.full_like(ro.x, -_BIG)
-                hi = jnp.full_like(ro.x, _BIG)
-                for ax in range(3):
-                    ok = jnp.abs(dq[ax]) > 1e-9
-                    inv = 1.0 / jnp.where(ok, dq[ax], 1.0)
-                    ta = (-b[ax] - oq[ax]) * inv
-                    tb = (b[ax] - oq[ax]) * inv
-                    axlo = jnp.minimum(ta, tb)
-                    axhi = jnp.maximum(ta, tb)
-                    inside = jnp.abs(oq[ax]) <= b[ax]
-                    axlo = jnp.where(ok, axlo,
-                                     jnp.where(inside, -_BIG, _BIG))
-                    axhi = jnp.where(ok, axhi,
-                                     jnp.where(inside, _BIG, -_BIG))
-                    lo = jnp.maximum(lo, axlo)
-                    hi = jnp.minimum(hi, axhi)
-                hit = (lo <= hi) & (hi > 0.0)
-                t = jnp.where(hit, jnp.where(lo > 0.0, lo, hi), _BIG)
-            elif bs.kind == KIND_PLANE:
-                denom = bv[o] * rd.x + bv[o + 1] * rd.y + bv[o + 2] * rd.z
-                f0 = (bv[o] * ro.x + bv[o + 1] * ro.y + bv[o + 2] * ro.z
-                      + bv[o + 3])
-                ok = jnp.abs(denom) > 1e-12
-                t = jnp.where(ok, -f0 / jnp.where(ok, denom, 1.0), _BIG)
-                t = jnp.where(t > 0.0, t, _BIG)
-            else:
-                ocx = ro.x - bv[o]
-                ocy = ro.y - bv[o + 1]
-                ocz = ro.z - bv[o + 2]
-                r = bv[o + 3]
-                b = ocx * rd.x + ocy * rd.y + ocz * rd.z
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = b * b - c  # |rd| == 1
-                hit = disc >= 0.0
-                root = jnp.sqrt(jnp.where(hit, disc, 0.0))
-                t0 = -b - root
-                t1 = -b + root
-                t = jnp.where(t0 > 0.0, t0,
-                              jnp.where(t1 > 0.0, t1, _BIG))
-                t = jnp.where(hit, t, _BIG)
+            t = _leaf_analytic_t(bs, ro, rd, bv)
             closer = t < t_cap
             t_cap = jnp.where(closer, t, t_cap)
             cap_idx = jnp.where(closer, bs.shape_id, cap_idx)
@@ -258,36 +350,8 @@ def _make_analytic_unboxed(spec: SceneSpec):
         zero = jnp.zeros_like(p.x)
         n = Vec3(zero, zero, zero)
         for bs in unboxed:
-            o = bs.off
             won = cap_idx == bs.shape_id
-            if bs.kind == KIND_CUBE:
-                M, c, b = _cube_rows(bs, bv)
-                q = tuple(
-                    M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
-                    + c[r] for r in range(3)
-                )
-                # Hit face = axis where |q| reaches its half-extent; the
-                # leaf normal is that axis signed by q, rotated back to
-                # world with Mw^T (orthonormal).
-                r0 = jnp.abs(q[0]) - b[0]
-                r1 = jnp.abs(q[1]) - b[1]
-                r2 = jnp.abs(q[2]) - b[2]
-                ax0 = (r0 >= r1) & (r0 >= r2)
-                ax1 = (~ax0) & (r1 >= r2)
-                nl = (jnp.where(ax0, jnp.sign(q[0]), 0.0),
-                      jnp.where(ax1, jnp.sign(q[1]), 0.0),
-                      jnp.where(ax0 | ax1, 0.0, jnp.sign(q[2])))
-                cand = Vec3(
-                    M[0] * nl[0] + M[3] * nl[1] + M[6] * nl[2],
-                    M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
-                    M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
-                ).normalize_safe()
-            elif bs.kind == KIND_PLANE:
-                cand = Vec3(zero + bv[o], zero + bv[o + 1], zero + bv[o + 2])
-            else:
-                cand = Vec3(p.x - bv[o], p.y - bv[o + 1],
-                            p.z - bv[o + 2]).normalize_safe()
-            n = vwhere(won, cand, n)
+            n = vwhere(won, _leaf_analytic_normal(bs, p, bv), n)
         return n
 
     def closest_fn(ro, rd, bv):
@@ -320,6 +384,77 @@ def _make_analytic_unboxed(spec: SceneSpec):
         return d_ca, t_ca, i_ca
 
     return cap_fn, normal_fn, closest_fn
+
+
+def _make_analytic_all(spec: SceneSpec):
+    """FULL-analytic bounce for union-only scenes (round 5): every leaf
+    kind intersects a ray in closed form (octahedron via its 4-slab
+    polytope decomposition), so the winner
+    is the per-lane argmin of analytic hits over the shapes in the ray's
+    map - the 80-step march, the 6 normal taps and the final-id re-tap
+    all disappear.  Membership matches the reference fold exactly: a
+    guarded shape is in a ray's map iff its ``check[]`` passes
+    (test_compute.glsl + generated guards), and shapes under a union's
+    child unions are clobbered out while an ancestor first-shape guard
+    passes (render/baked.py:analytic_all_plan).
+
+    Divergence contract (same classes as ``analytic_unboxed``, now
+    whole-scene): hits land exactly ON surfaces instead of the
+    |d| < MHD march shell, ties at equal t pick the earlier shape in
+    walk order, and the creeping budget-exit class resolves exactly
+    (there is no step budget).
+
+    Returns ``(isect_fn, normal_fn)``:
+    ``isect_fn(ro, rd, bv, checks, anyhit) -> (t, idx)`` with
+    tile-uniform lax.cond skipping per guarded shape;
+    ``normal_fn(p, idx, bv, anyhit) -> Vec3`` exact winner normals.
+    """
+    plan = analytic_all_plan(spec)
+    if plan is None:
+        raise ValueError("analytic_all requires a union-only tree")
+
+    def isect_fn(ro, rd, bv, checks, anyhit):
+        t_min = jnp.full_like(ro.x, _BIG)
+        idx = jnp.full(ro.x.shape, -1, jnp.int32)
+
+        for bs, clobber_ids in plan:
+            def eval_one(args, bs=bs, clobber_ids=clobber_ids):
+                tm, ix = args
+                t = _leaf_analytic_t(bs, ro, rd, bv)
+                incl = checks[bs.shape_id] if bs.aabb else None
+                for cid in clobber_ids:
+                    c = ~checks[cid]
+                    incl = c if incl is None else (incl & c)
+                if incl is not None:
+                    t = jnp.where(incl, t, _BIG)
+                closer = t < tm
+                return (jnp.where(closer, t, tm),
+                        jnp.where(closer, bs.shape_id, ix))
+
+            if (bs.aabb and anyhit is not None
+                    and anyhit[bs.shape_id] is not None):
+                t_min, idx = lax.cond(anyhit[bs.shape_id], eval_one,
+                                      lambda a: a, (t_min, idx))
+            else:
+                t_min, idx = eval_one((t_min, idx))
+        return t_min, idx
+
+    def normal_fn(p, idx, bv, anyhit):
+        zero = jnp.zeros_like(p.x)
+        n = Vec3(zero, zero, zero)
+        for bs, _clobber in plan:
+            def eval_one(n_, bs=bs):
+                cand = _leaf_analytic_normal(bs, p, bv)
+                return vwhere(idx == bs.shape_id, cand, n_)
+
+            if (bs.aabb and anyhit is not None
+                    and anyhit[bs.shape_id] is not None):
+                n = lax.cond(anyhit[bs.shape_id], eval_one, lambda a: a, n)
+            else:
+                n = eval_one(n)
+        return n
+
+    return isect_fn, normal_fn
 
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
@@ -536,6 +671,94 @@ def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
     return t, tp
 
 
+GRID_TAU = 4.0 * MHD     # exact-tap shell: lanes with bound below this march exactly
+GRID_EXTRA_ITERS = 256   # global cap on cheap advances beyond the STEPS budget
+
+
+def _march_while_grid(map_d_culled, ro, rd, pv, checks, ivals, grid_tap,
+                      alive=None, tau=GRID_TAU, t_cap=None):
+    """Sphere march accelerated by the baked lower-bound distance grid
+    (render/distgrid.py; the round-5 generalization of the reference's
+    per-ray AABB culling, shader_out/test_compute.glsl:185-245).
+
+    Per iteration every live lane taps the grid bound ``g`` (a per-lane
+    dynamic gather, ~1.3 ns/lane); lanes with ``g >= tau`` advance by
+    ``g`` - provably below the per-ray map, so no surface can be crossed -
+    WITHOUT evaluating the exact map.  Only when some lane is within
+    ``tau`` of a surface does the tile run one exact culled map tap, with
+    the t-interval activation front restricted to the NEAR lanes (the
+    same activation + pending-clamp machinery as
+    :func:`_march_while_tcull`, so near-lane trajectories keep its exact
+    semantics and its documented eps divergence).  Far lanes never read
+    the near-front-culled exact value (shapes near them may be inactive);
+    they keep their grid bound.
+
+    Divergence contract (documented in render/distgrid.py): hits fire
+    only on exact taps and cheap advances cannot tunnel, but the tap
+    sequence differs from the reference's 80x map schedule, so sub-MHD
+    landing positions and budget-exit accounting shift at eps level.  The
+    STEPS budget counts EXACT taps per lane; cheap advances are bounded
+    globally by ``STEPS + GRID_EXTRA_ITERS``.
+
+    Returns ``(t, t_prev)``; ids are recovered by :func:`_final_idx`.
+    """
+    t0 = ro.x * 0.0
+    done0 = t0.astype(jnp.int32) if alive is None else (~alive).astype(jnp.int32)
+    ec0 = t0.astype(jnp.int32)
+    max_it = STEPS + GRID_EXTRA_ITERS
+
+    def cond(c):
+        it, _t, _tp, done_i, _ec = c
+        return jnp.logical_and(it < max_it, jnp.min(done_i) < 1)
+
+    def body(c):
+        it, t, tp, done_i, ec = c
+        done = done_i != 0
+        p = ro + rd * t
+        g = grid_tap(p)
+        near = (~done) & (g < tau)
+        any_near = jnp.max(near.astype(jnp.int32)) > 0
+
+        def exact_branch(_):
+            t_hi = jnp.max(jnp.where(near, t, -_BIG))
+            t_lo = jnp.min(jnp.where(near, t, _BIG))
+            active = []
+            m = jnp.float32(_BIG)
+            for iv in ivals:
+                if iv is None:
+                    active.append(None)
+                    continue
+                any_h, tn_min, tf_max = iv
+                not_reached = tn_min > t_hi
+                act = any_h & ~not_reached & (tf_max >= t_lo)
+                active.append(act)
+                m = jnp.where(any_h & not_reached, jnp.minimum(m, tn_min), m)
+            d = map_d_culled(p, pv, checks, tuple(active))
+            return d, m
+
+        def skip_branch(_):
+            return jnp.full_like(t, _BIG), jnp.float32(_BIG)
+
+        d, m = lax.cond(any_near, exact_branch, skip_branch, None)
+        ad = jnp.abs(d)
+        clamp = jnp.maximum(m - t, MHD)
+        step = jnp.where(near, jnp.minimum(ad, clamp), g)
+        nt = jnp.where(done, t, t + step)
+        if t_cap is not None:
+            nt = jnp.where(done, nt, jnp.minimum(nt, t_cap))
+        ntp = jnp.where(done, tp, t)
+        nec = ec + near.astype(jnp.int32)
+        hit = near & (ad < MHD)
+        ndone = done | hit | (nt > FP) | (nec >= STEPS)
+        if t_cap is not None:
+            ndone = ndone | (nt >= t_cap)
+        return it + 1, nt, ntp, ndone.astype(jnp.int32), nec
+
+    _, t, tp, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), t0, t0, done0, ec0))
+    return t, tp
+
+
 def _march_while_ids(map_culled, ro, rd, pv, checks, ivals):
     """Round-1-style march carrying the winning id per step (the exact
     cast_ray fold, reference.py:112-123), with the same per-step interval/
@@ -621,7 +844,8 @@ def _march_while(map_d_culled, ro, rd, pv, checks, anyhit, alive=None):
 
 def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
                      pv, rng, bounces, normal_fn=calc_normal, t_cull=False,
-                     stats=False, omega=1.0, analytic=None, refresh_every=1):
+                     stats=False, omega=1.0, analytic=None, refresh_every=1,
+                     grid_tap=None, grid_tau=GRID_TAU, analytic_full=None):
     """The bounce loop of render/reference.py:path_trace (same shading math,
     test_compute.glsl:91-166) restructured for a VMEM tile: a while_loop that
     exits once every lane is dead, with per-bounce tile-level AABB culling
@@ -672,19 +896,29 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
             t_cap, cap_idx = analytic[0](ro, rd, pv)
         else:
             t_cap = cap_idx = None
-        if t_cull:
+        full_idx = None
+        if analytic_full is not None:
+            # Full-analytic bounce: no march at all (see _make_analytic_all).
+            t, full_idx = analytic_full[0](ro, rd, pv, checks, anyhit)
+            tp = t
+        elif t_cull:
             ivals = _interval_scalars(checks, tns, tfs)
-            out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
-                                     ivals, alive=alive,
-                                     with_stats=stats, omega=omega,
-                                     t_cap=t_cap,
-                                     refresh_every=refresh_every)
-            if stats:
-                t, tp, msteps, mact = out
-                steps_tot = steps_tot + msteps.astype(jnp.float32)
-                act_tot = act_tot + mact
+            if grid_tap is not None:
+                t, tp = _march_while_grid(map_d_culled, ro, rd, pv, checks,
+                                          ivals, grid_tap, alive=alive,
+                                          tau=grid_tau, t_cap=t_cap)
             else:
-                t, tp = out
+                out = _march_while_tcull(map_d_culled, ro, rd, pv, checks,
+                                         ivals, alive=alive,
+                                         with_stats=stats, omega=omega,
+                                         t_cap=t_cap,
+                                         refresh_every=refresh_every)
+                if stats:
+                    t, tp, msteps, mact = out
+                    steps_tot = steps_tot + msteps.astype(jnp.float32)
+                    act_tot = act_tot + mact
+                else:
+                    t, tp = out
         else:
             t, tp = _march_while(map_d_culled, ro, rd, pv, checks,
                                  anyhit, alive=alive)
@@ -737,13 +971,21 @@ def _path_trace_tile(map_culled, map_d_culled, bounds_fn, gather_mat, ro, rd,
         # never consumed (same argument as the loop's own early exit).
         def shade_branch(args):
             rng_, ro_, rd_, ret_, thr_, i_exit_, aux_ = args
-            idx = _final_idx(map_culled, ro_, rd_, pv, checks, aux_anyhit, t, tp)
-            n = normal_fn(map_fn, hit_pos, pv, checks)
-            if capped is not None:
-                # Analytic winners: exact shape id + exact surface normal
-                # (the excluded map knows nothing about these shapes).
-                idx = jnp.where(capped, cap_idx, idx)
-                n = vwhere(capped, analytic[1](hit_pos, cap_idx, pv), n)
+            if full_idx is not None:
+                # Full-analytic bounce: winner id and exact normal come
+                # straight from the argmin intersection - no map taps.
+                idx = full_idx
+                n = analytic_full[1](hit_pos, full_idx, pv, aux_anyhit)
+            else:
+                idx = _final_idx(map_culled, ro_, rd_, pv, checks,
+                                 aux_anyhit, t, tp)
+                n = normal_fn(map_fn, hit_pos, pv, checks)
+                if capped is not None:
+                    # Analytic winners: exact shape id + exact surface
+                    # normal (the excluded map knows nothing about these
+                    # shapes).
+                    idx = jnp.where(capped, cap_idx, idx)
+                    n = vwhere(capped, analytic[1](hit_pos, cap_idx, pv), n)
             mat = gather_mat(idx)
             rng2, new_ro, new_rd, emit, thr_factor, ray_prob = shade_bounce(
                 rng_, rd_, hit_pos, n, mat
@@ -792,7 +1034,9 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  tile_h: int, tile_w: int,
                  geometry: str = "faithful", normals: str = "central",
                  t_cull: bool = False, omega: float = 1.0,
-                 analytic_unboxed: bool = False, refresh_every: int = 1):
+                 analytic_unboxed: bool = False, refresh_every: int = 1,
+                 dist_grid: bool = False, grid_res=GRID_DEFAULT_RES,
+                 grid_tau: float = GRID_TAU, analytic_all: bool = False):
     """Kernel body: one VMEM tile.
 
     ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
@@ -805,6 +1049,32 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     artifact optin_r03.jsonl; decision rule in ROADMAP).
     """
     baked = geometry == "baked"
+    analytic_full = None
+    if analytic_all:
+        if not baked:
+            raise ValueError("analytic_all requires geometry='baked'")
+        if analytic_unboxed or dist_grid:
+            raise ValueError("analytic_all subsumes analytic_unboxed and "
+                             "dist_grid; enable only one")
+        if debug not in (0, 3):
+            raise ValueError(
+                "analytic_all supports the path-traced modes (debug 0/3); "
+                "the id-march debug diagnostics stay faithful")
+        analytic_full = _make_analytic_all(spec)  # raises if ineligible
+        t_cull = False  # no march: plain bounds suffice for membership
+    if dist_grid:
+        if not (baked and t_cull):
+            raise ValueError(
+                "dist_grid requires geometry='baked' and t_cull=True")
+        if debug not in (0, 3):
+            raise ValueError(
+                "dist_grid supports the path-traced modes (debug 0/3); the "
+                "id-march and stats diagnostics stay faithful")
+        if tile_w != 128:
+            raise ValueError("dist_grid requires tile_w == 128 (the grid "
+                             "tap gathers along the 128-lane dimension)")
+        if not grid_eligible(spec):
+            raise ValueError("dist_grid requires at least one bounded leaf")
     analytic = None
     if analytic_unboxed:
         from ..render.baked import analytic_eligible_ids
@@ -847,8 +1117,13 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     else:
         normal_fn = calc_normal
 
+    grid_tap_fn = make_grid_tap(spec, grid_res) if dist_grid else None
+
     def kernel(iparams_ref, fparams_ref, params_ref, *rest):
-        if baked:
+        gmeta_ref = gchunks_ref = None
+        if dist_grid:
+            gv_ref, gmeta_ref, gchunks_ref, accum_ref, out_ref = rest
+        elif baked:
             gv_ref, accum_ref, out_ref = rest
         else:
             accum_ref, out_ref = rest
@@ -867,6 +1142,15 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         y0 = pl.program_id(0) * tile_h + iparams_ref[3]
         x0 = pl.program_id(1) * tile_w
         gather_mat = _make_smem_gather_mat(spec, params_ref)
+
+        grid_tap = None
+        if dist_grid:
+            chunks_arr = gchunks_ref[:]  # (n_chunks, 128) resident in VMEM
+
+            def grid_tap(p, _tap=grid_tap_fn, _chunks=chunks_arr,
+                         _meta=gmeta_ref, _pv=pv):
+                return _tap(p, lambda i: _meta[i],
+                            lambda k: _chunks[k][None, :], _pv)
 
         xs = x0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         ys = y0 + lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -890,6 +1174,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 pv, rng, bounces,
                 normal_fn=normal_fn, t_cull=t_cull, omega=omega,
                 analytic=analytic, refresh_every=refresh_every,
+                grid_tap=grid_tap, grid_tau=grid_tau,
+                analytic_full=analytic_full,
             )
             if debug == 3:
                 col = Vec3.splat(
@@ -971,7 +1257,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     static_argnames=(
         "spec", "width", "height", "debug", "tile_h", "tile_w",
         "geometry", "normals", "t_cull", "omega", "analytic_unboxed",
-        "refresh_every", "interpret",
+        "refresh_every", "dist_grid", "grid_res", "grid_tau",
+        "analytic_all", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -996,6 +1283,10 @@ def _pallas_frame_planes(
     omega: float = 1.0,
     analytic_unboxed: bool = False,
     refresh_every: int = 1,
+    dist_grid: bool = False,
+    grid_res=GRID_DEFAULT_RES,
+    grid_tau: float = GRID_TAU,
+    analytic_all: bool = False,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -1014,7 +1305,8 @@ def _pallas_frame_planes(
 
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w,
                           geometry, normals, t_cull, omega, analytic_unboxed,
-                          refresh_every)
+                          refresh_every, dist_grid, grid_res, grid_tau,
+                          analytic_all)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -1024,8 +1316,15 @@ def _pallas_frame_planes(
     if geometry == "baked":
         # The per-frame bake: a tiny scalar XLA graph outside the kernel,
         # differentiable params -> bv, negligible next to one tile's work.
-        inputs.append(bake(spec, params))
+        bv = bake(spec, params)
+        inputs.append(bv)
         in_specs.append(smem)
+        if dist_grid:
+            gmeta, gchunks = bake_dist_grid(spec, bv, grid_res)
+            inputs.append(gmeta)
+            in_specs.append(smem)
+            inputs.append(gchunks)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     inputs.append(accum_planes)
     in_specs.append(tile_spec)
     return pl.pallas_call(
@@ -1068,6 +1367,10 @@ def render_frame_pallas(
     omega: float = 1.0,
     analytic_unboxed: bool = False,
     refresh_every: int = 1,
+    dist_grid: bool = False,
+    grid_res=GRID_DEFAULT_RES,
+    grid_tau: float = GRID_TAU,
+    analytic_all: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -1080,6 +1383,14 @@ def render_frame_pallas(
     1.50x on the primary march).  Hits land exactly ON those surfaces
     instead of the |d| < MHD shell, and creeping budget-exit rays resolve
     exactly - the documented divergence classes.
+
+    ``dist_grid=True`` (opt-in eps trade, baked + t_cull, any tree):
+    marches on a per-frame-baked lower-bound distance grid
+    (render/distgrid.py) - lanes farther than ``grid_tau`` from every
+    surface advance by a per-lane gathered bound without evaluating the
+    exact map.  Hits keep exact-map semantics; the tap sequence (and so
+    sub-MHD landings and budget-exit accounting) shifts at eps level.
+    Composes with ``analytic_unboxed``.
     """
     if aspect is None:
         aspect = width / height
@@ -1109,6 +1420,10 @@ def render_frame_pallas(
         omega=omega,
         analytic_unboxed=analytic_unboxed,
         refresh_every=refresh_every,
+        dist_grid=dist_grid,
+        grid_res=tuple(grid_res),
+        grid_tau=grid_tau,
+        analytic_all=analytic_all,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))

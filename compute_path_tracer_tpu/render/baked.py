@@ -367,6 +367,54 @@ def analytic_eligible_ids(spec: SceneSpec) -> frozenset:
     return frozenset(out)
 
 
+@lru_cache(maxsize=None)
+def analytic_all_plan(spec: SceneSpec):
+    """Static plan for the FULL-analytic bounce (kernels/megakernel.py
+    ``analytic_all``): for union-only trees whose every leaf has a
+    closed-form ray intersection (plane, sphere, cube), the march can be
+    skipped entirely - the winner is the nearest analytic hit among the
+    shapes in the ray's map.
+
+    Returns ``None`` when the scene is ineligible (any non-union op),
+    else a tuple of ``(BakedShape, clobber_ids)`` rows -
+    one per leaf that can ever be in a ray's map - where ``clobber_ids``
+    are the shape ids of guarded ancestor FIRST shapes whose passing
+    ``check[]`` removes this leaf from the fold: the reference's
+    first-shape ASSIGN (containers.rs:244-252) clobbers the accumulated
+    child-union value, so every shape under a union's child unions is in
+    the map only while each such ancestor first-shape guard FAILS.  A
+    guard-less first shape clobbers statically: the subtree's shapes are
+    simply absent from the plan (they can never render - the same quirk
+    the map fold reproduces).
+    """
+    layout = baked_layout(spec)
+    plan = []
+    ok = [True]
+
+    def walk(bu, clobber_ids, excluded):
+        if bu.op != OP_UNION:
+            ok[0] = False
+            return
+        sub_ids, sub_excl = clobber_ids, excluded
+        if bu.children_shapes and bu.children_unions:
+            s0 = bu.children_shapes[0]
+            if s0.aabb:
+                sub_ids = clobber_ids + (s0.shape_id,)
+            else:
+                sub_excl = True
+        for cu in bu.children_unions:
+            walk(cu, sub_ids, sub_excl)
+        for bs in bu.children_shapes:
+            # All four kinds have closed forms (octahedron: 4-slab
+            # polytope, kernels/megakernel.py:_slab_polytope_t).
+            if not excluded:
+                plan.append((bs, clobber_ids))
+
+    for root in layout.roots:
+        walk(root, (), False)
+    return tuple(plan) if ok[0] else None
+
+
 def _union_cull_pred(bu: BakedUnion, anyhit, skip_ids=frozenset()):
     terms = []
     for cu in bu.children_unions:
