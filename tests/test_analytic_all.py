@@ -1,0 +1,174 @@
+"""Full-analytic bounce (kernels/megakernel.py ``analytic_all``, round 5).
+
+Union-only scenes intersect every leaf kind in closed form (sphere
+quadratic, cube 3-slab, octahedron 4-slab polytope, plane linear), so the
+march disappears.  These tests pin
+
+* per-kind analytic hits: the returned t lands ON the leaf surface (SDF
+  residual ~ 0) with no earlier crossing along the ray;
+* plan eligibility and the first-shape-assign clobber quirk
+  (containers.rs:244-252): shapes under a union's child unions are in a
+  ray's map only while the ancestor first-shape guard FAILS, and a
+  guard-less first shape excludes the subtree statically;
+* interpret-mode image agreement with the faithful marching kernel at
+  the documented eps class.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compute_path_tracer_tpu.kernels.megakernel import (
+    _leaf_analytic_normal,
+    _leaf_analytic_t,
+    render_frame_pallas,
+)
+from compute_path_tracer_tpu.render.baked import (
+    _leaf_distance,
+    analytic_all_plan,
+    bake,
+    baked_shapes_in_order,
+)
+from compute_path_tracer_tpu.scene.compile import compile_scene
+from compute_path_tracer_tpu.scene.library import (
+    benchmark_scene,
+    blend_demo,
+    csg_demo,
+)
+from compute_path_tracer_tpu.scene.model import (
+    KIND_CUBE,
+    KIND_OCTAHEDRON,
+    KIND_SPHERE,
+    Scene,
+    Shape,
+    Union,
+)
+from compute_path_tracer_tpu.vecmath import Vec3
+
+_BIG_CUT = 200.0
+
+
+def _rays_at(center, n=256, seed=0, radius=8.0):
+    r = np.random.default_rng(seed)
+    ro = center + r.uniform(-radius, radius, (n, 3))
+    to = center + r.uniform(-0.5, 0.5, (n, 3))
+    rd = to - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    mk = lambda a: Vec3(*(jnp.asarray(a[:, i].reshape(-1, 1), jnp.float32)
+                          for i in range(3)))
+    return mk(ro), mk(rd)
+
+
+@pytest.mark.parametrize("kind", [KIND_SPHERE, KIND_CUBE, KIND_OCTAHEDRON])
+def test_leaf_analytic_t_on_surface(kind):
+    """Analytic hit t lands on the leaf SDF zero set, with no earlier
+    surface crossing along the ray."""
+    root = Union(name="R")
+    s = root.add_shape(Shape(kind, name="S"))
+    s.transform.position.set(0.3, -0.2, 2.5)
+    s.transform.rotation.set(0.4, 1.1, 0.0)
+    if kind == KIND_CUBE:
+        s.size3.set(0.5, 0.8, 0.3)
+    else:
+        s.size.set(0.7)
+    s.transform.aabb = False
+    cs = compile_scene(Scene([root]))
+    bv = bake(cs.spec, jnp.asarray(cs.params, jnp.float32))
+    bs = baked_shapes_in_order(cs.spec)[0]
+
+    ro, rd = _rays_at(np.array([0.3, -0.2, 2.5]))
+    t = _leaf_analytic_t(bs, ro, rd, bv)
+    tn = np.asarray(t)
+    hit = tn < _BIG_CUT
+    assert hit.mean() > 0.05  # the ray bundle must actually hit sometimes
+
+    p = ro + rd * t
+    res = np.asarray(_leaf_distance(bs, p, bv))
+    assert np.abs(res[hit]).max() < 1e-3
+
+    # No earlier crossing: for rays starting OUTSIDE, the SDF stays
+    # positive strictly before the hit.
+    d0 = np.asarray(_leaf_distance(bs, ro, bv))
+    outside = hit & (d0 > 1e-3)
+    for frac in (0.25, 0.5, 0.9):
+        pm = ro + rd * (t * frac)
+        dm = np.asarray(_leaf_distance(bs, pm, bv))
+        assert dm[outside].min() > -1e-3
+
+    # Normal agrees with the SDF gradient direction at the hit.
+    n = _leaf_analytic_normal(bs, p, bv)
+    eps = 1e-3
+    fd = []
+    for ax in range(3):
+        dp = Vec3(p.x + (eps if ax == 0 else 0.0),
+                  p.y + (eps if ax == 1 else 0.0),
+                  p.z + (eps if ax == 2 else 0.0))
+        dm2 = Vec3(p.x - (eps if ax == 0 else 0.0),
+                   p.y - (eps if ax == 1 else 0.0),
+                   p.z - (eps if ax == 2 else 0.0))
+        fd.append(np.asarray(_leaf_distance(bs, dp, bv))
+                  - np.asarray(_leaf_distance(bs, dm2, bv)))
+    fd = np.stack(fd, -1)
+    fd /= np.maximum(np.linalg.norm(fd, axis=-1, keepdims=True), 1e-9)
+    nn = np.stack([np.asarray(n.x), np.asarray(n.y), np.asarray(n.z)], -1)
+    dots = (fd * nn).sum(-1)[hit]
+    # Edge/corner taps can straddle faces; the bulk must align.
+    assert np.percentile(dots, 20) > 0.95
+
+
+def test_plan_eligibility():
+    assert analytic_all_plan(compile_scene(benchmark_scene(16)).spec)
+    assert analytic_all_plan(compile_scene(csg_demo()).spec) is None
+    assert analytic_all_plan(compile_scene(blend_demo()).spec) is None
+
+
+def test_plan_clobber_quirk():
+    """A union with BOTH child unions and shapes: the guarded first shape's
+    check clobbers the child subtree; a guard-less first shape excludes it
+    statically (the reference fold quirk)."""
+    root = Union(name="R")
+    child = Union(name="C")
+    inner = child.add_shape(Shape(KIND_SPHERE, name="inner"))
+    inner.transform.aabb = False
+    root.add_union(child)
+    first = root.add_shape(Shape(KIND_SPHERE, name="first"))  # guarded
+    cs = compile_scene(Scene([root]))
+    plan = analytic_all_plan(cs.spec)
+    rows = {bs.shape_id: cl for bs, cl in plan}
+    assert rows[first.id if hasattr(first, "id") else 1] == () or True
+    # identify by kind/off: inner is shape_id 0 (walked first)
+    inner_row = [cl for bs, cl in plan if bs.shape_id == 0]
+    first_row = [cl for bs, cl in plan if bs.shape_id == 1]
+    assert inner_row and inner_row[0] == (1,)  # clobbered by first's check
+    assert first_row and first_row[0] == ()
+
+    # Guard-less first shape: subtree statically gone.
+    root2 = Union(name="R2")
+    child2 = Union(name="C2")
+    inner2 = child2.add_shape(Shape(KIND_SPHERE, name="inner2"))
+    inner2.transform.aabb = False
+    root2.add_union(child2)
+    first2 = root2.add_shape(Shape(KIND_SPHERE, name="first2"))
+    first2.transform.aabb = False
+    plan2 = analytic_all_plan(compile_scene(Scene([root2])).spec)
+    ids2 = [bs.shape_id for bs, _ in plan2]
+    assert ids2 == [1]  # only the clobbering first shape remains
+
+
+def test_analytic_all_raises_on_csg():
+    cs = compile_scene(csg_demo())
+    with pytest.raises(ValueError):
+        render_frame_pallas(cs.spec, cs.params, width=128, height=8,
+                            analytic_all=True, interpret=True)
+
+
+@pytest.mark.slow
+def test_analytic_all_image_agreement_interpret():
+    cs = compile_scene(benchmark_scene(16))
+    spec, params = cs.spec, cs.params
+    kw = dict(width=128, height=64, bounces=3, geometry="baked",
+              interpret=True)
+    f = np.asarray(render_frame_pallas(spec, params, t_cull=True, **kw))
+    a = np.asarray(render_frame_pallas(spec, params, analytic_all=True, **kw))
+    diff = np.abs(f - a).max(axis=-1)
+    assert float((diff > 1e-2).mean()) < 5e-3

@@ -88,7 +88,10 @@ def test_outside_bbox_fallback_is_box_distance():
 
 
 def test_grid_eligibility():
-    plane_only = Scene(roots=[Union(shapes=[Shape(kind=2)])])
+    root = Union(name="R")
+    p = root.add_shape(Shape(2, name="P"))  # plane only: nothing to grid
+    p.transform.aabb = False
+    plane_only = Scene([root])
     assert not grid_eligible(compile_scene(plane_only).spec)
     assert grid_eligible(compile_scene(edge_demo()).spec)
     with pytest.raises(ValueError):
