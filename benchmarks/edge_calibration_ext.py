@@ -19,7 +19,7 @@ Families:
   (silhouette length and the 1/scale distance correction both change).
 
 Run on CPU: JAX_PLATFORMS=cpu python benchmarks/edge_calibration_ext.py
-Writes benchmarks/artifacts/edge_calibration_ext_r04.jsonl.
+Writes benchmarks/artifacts/edge_calibration_ext_r05.jsonl.
 """
 
 import json
@@ -96,7 +96,7 @@ def main():
         rows.append(cell("scaled", sc, p, slot_x, 0.05))
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "artifacts", "edge_calibration_ext_r04.jsonl")
+                       "artifacts", "edge_calibration_ext_r05.jsonl")
     with open(out, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -18,7 +18,7 @@ under three new families:
                   distance-scale correction both change).
 
 FD truth uses the spp-averaged loss with common random numbers, same as the
-base harness.  Writes benchmarks/artifacts/secondary_calibration_ext_r04.jsonl.
+base harness.  Writes benchmarks/artifacts/secondary_calibration_ext_r05.jsonl.
 Run on CPU: JAX_PLATFORMS=cpu python benchmarks/secondary_calibration_ext.py
 """
 
@@ -95,7 +95,7 @@ def main():
         rows.append(cell("scaled", sc, p, slot_y, 0.1))
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "artifacts", "secondary_calibration_ext_r04.jsonl")
+                       "artifacts", "secondary_calibration_ext_r05.jsonl")
     with open(out, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -123,15 +123,33 @@ def make_implicit_cast(map_fn):
     return cast_fn
 
 
+_CROSS_FLOOR = 2e-3  # min step while crossing a surface (anti MHD-creep)
+
+
 def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
-                   excl_tmax=None):
-    """cast_ray's march additionally tracking the closest approach:
+                   excl_tmax=None, t_stop=None):
+    """cast_ray's march additionally tracking the SIGNED closest approach:
     ``(d_min, t_at_min, idx_at_min)`` over all map taps of live lanes.
 
     Near a silhouette, sphere tracing samples densely (steps shrink with d),
     so the discrete minimum is a tight estimate of the continuous
     closest-approach distance - the quantity whose zero-crossing IS the
     visibility edge.
+
+    Round 5 - the march continues THROUGH the first surface instead of
+    stopping at |d| < MHD, so hit lanes track the SIGNED closest approach
+    (the most-negative map value along the chord: rho - r for a sphere,
+    -(lateral face margin) for a box).  The round-4 clamped min (d_min in
+    [0, MHD] on every hit lane) structurally deleted the INTERIOR half of
+    the coverage ramp - the measured ~2x cube-family deficit of
+    edge_calibration_ext_r04 - and left interior pixels far from any edge
+    carrying sigma' ~ 0.25.  With the signed continuation, near-edge
+    interior lanes supply the missing half-ramp and deep-interior lanes
+    saturate the sigmoid (sigma' -> 0).  Crossing steps are floored at
+    ``_CROSS_FLOOR`` (the |d| march would otherwise creep at MHD/tap
+    through the shell); the march stops on EXIT of the first penetrated
+    shape (d > 0 after having been negative), so shapes BEHIND the first
+    hit cannot saturate the min and erase the front silhouette's signal.
 
     ``excl`` (optional tuple of per-lane int32 shape ids) excludes taps whose
     map winner is one of those ids from the closest-approach TRACKING (the
@@ -143,9 +161,13 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
     ``t <= tmax``: the respawn surface is excluded only near the origin, so
     a segment skimming its own emitter surface's EDGE at distance still
     registers the graze (self-occlusion edges, e.g. a wall shadowing its
-    own far side).
+    own far side).  ``t_stop`` (per lane) bounds the march: the secondary
+    estimator passes the segment's own hit distance - with the winner
+    excluded from tracking, grazes BEYOND the path's end are not
+    visibility boundaries of this segment (round 3 measured ~3x phantom
+    inflation without the cap, kernels/train.py:_make_excl_closest).
     """
-    from ..constants import FP as _FP, MHD as _MHD, STEPS as _STEPS
+    from ..constants import FP as _FP, STEPS as _STEPS
 
     t0 = ro.x * 0.0
     done0 = t0.astype(jnp.int32)
@@ -153,7 +175,7 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
     dmin0 = t0 + jnp.float32(1e9)
 
     def body(_, carry):
-        t, idx, done_i, d_min, t_min, i_min = carry
+        t, idx, done_i, was_neg_i, d_min, t_min, i_min = carry
         done = done_i != 0
         p = ro + rd * t
         d, mi = map_fn(Vec3(p.x, p.y, p.z), pv, checks)
@@ -170,15 +192,20 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
         t_min = jnp.where(better, t, t_min)
         i_min = jnp.where(better, mi, i_min)
         ad = jnp.abs(d)
-        nt = jnp.where(done, t, t + ad)
+        nt = jnp.where(done, t, t + jnp.maximum(ad, _CROSS_FLOOR))
         nidx = jnp.where(done, idx, mi)
         far = nt > _FP
         nidx = jnp.where(jnp.logical_and(~done, far), -1, nidx)
-        ndone = done | (ad < _MHD) | far
-        return nt, nidx, ndone.astype(jnp.int32), d_min, t_min, i_min
+        exited = (was_neg_i != 0) & (d > 0.0)
+        nwas_neg = was_neg_i | (d < 0.0).astype(jnp.int32)
+        ndone = done | far | exited
+        if t_stop is not None:
+            ndone = ndone | (nt > t_stop)
+        return (nt, nidx, ndone.astype(jnp.int32), nwas_neg,
+                d_min, t_min, i_min)
 
-    _, _, _, d_min, t_min, i_min = lax.fori_loop(
-        0, _STEPS, body, (t0, idx0, done0, dmin0, t0, idx0)
+    _, _, _, _, d_min, t_min, i_min = lax.fori_loop(
+        0, _STEPS, body, (t0, idx0, done0, done0, dmin0, t0, idx0)
     )
     return d_min, t_min, i_min
 
@@ -198,18 +225,21 @@ def make_closest_approach(map_fn, excl_tmax=None):
     """
 
     @jax.custom_vjp
-    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl):
-        return _march_closest(map_fn, Vec3(ro_x, ro_y, ro_z), Vec3(rd_x, rd_y, rd_z), pv, checks, excl, excl_tmax)
+    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts):
+        return _march_closest(map_fn, Vec3(ro_x, ro_y, ro_z),
+                              Vec3(rd_x, rd_y, rd_z), pv, checks, excl,
+                              excl_tmax, ts[0] if ts else None)
 
-    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl):
+    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts):
         ro = Vec3(ro_x, ro_y, ro_z)
         rd = Vec3(rd_x, rd_y, rd_z)
-        out = _march_closest(map_fn, ro, rd, pv, checks, excl, excl_tmax)
+        out = _march_closest(map_fn, ro, rd, pv, checks, excl, excl_tmax,
+                             ts[0] if ts else None)
         d_min, t_min, i_min = out
-        return out, (ro, rd, t_min, pv, checks, excl)
+        return out, (ro, rd, t_min, pv, checks, excl, ts)
 
     def bwd(res, cots):
-        ro, rd, t_min, pv, checks, excl = res
+        ro, rd, t_min, pv, checks, excl, ts = res
         d_cot, _t_cot, _i_cot = cots
         p = ro + rd * t_min
 
@@ -225,14 +255,16 @@ def make_closest_approach(map_fn, excl_tmax=None):
             for c in checks
         )
         excl_cot = tuple(np.zeros(e.shape, jax.dtypes.float0) for e in excl)
+        ts_cot = tuple(np.zeros(t.shape, jax.dtypes.float0) for t in ts)
         return (g.x, g.y, g.z, g.x * t_min, g.y * t_min, g.z * t_min,
-                pv_cot, checks_cot, excl_cot)
+                pv_cot, checks_cot, excl_cot, ts_cot)
 
     closest.defvjp(fwd, bwd)
 
-    def closest_fn(ro, rd, pv, checks, excl=()):
+    def closest_fn(ro, rd, pv, checks, excl=(), t_stop=None):
+        ts = () if t_stop is None else (t_stop,)
         return closest(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, pv, checks,
-                       tuple(excl))
+                       tuple(excl), ts)
 
     return closest_fn
 
@@ -426,11 +458,33 @@ def render_pixels_diff(
         closest_fn = make_closest_approach(map_fn)
         d_min, t_min, i_min = closest_fn(ro, rd, gv, checks0)
         tsg = lax.stop_gradient(t_min)
+        sg = lax.stop_gradient
+
+        def edge_slope(ro_, rd_, t_, checks_):
+            """Slope-aware bandwidth factor (round 5): d_min changes per
+            unit PERPENDICULAR ray offset at the rate of the map
+            gradient's ray-perpendicular component at the argmin point -
+            1 for a sphere silhouette (the pose the global beta was
+            calibrated on), < 1 for tilted faces/edges whose closest
+            distance grows slower than the screen offset.  Dividing the
+            effective bandwidth by it converts d_min into true
+            screen-space edge distance, which is what the pixel-footprint
+            sigmoid models; without it the estimator undershoots tilted
+            and cube-family silhouettes ~2x (round-4 extended
+            calibration, edge_calibration_ext_r04.jsonl)."""
+            p_star = Vec3(sg(ro_.x + rd_.x * t_), sg(ro_.y + rd_.y * t_),
+                          sg(ro_.z + rd_.z * t_))
+            nrm = _ref.calc_normal(map_fn, p_star, sg(gv), checks_)
+            g_par = nrm.x * sg(rd_.x) + nrm.y * sg(rd_.y) + nrm.z * sg(rd_.z)
+            perp = jnp.sqrt(jnp.maximum(1.0 - g_par * g_par, 1e-6))
+            return jnp.clip(perp, 0.15, 1.0)
+
         # Pixel footprint at the closest point: one pixel subtends ~2/(H*fov)
-        # of the normalized image plane (ops/camera.py:calc_uv).
+        # of the normalized image plane (ops/camera.py:calc_uv); the slope
+        # factor projects it onto the local silhouette geometry.
         beta = jnp.maximum(tsg, 0.2) * (
             2.0 * edge_beta / (height * lax.stop_gradient(fov))
-        )
+        ) * edge_slope(ro, rd, tsg, checks0)
         c = jax.nn.sigmoid((MHD - d_min) / beta)
         mat_min = gather_mat(i_min)
         proxy_emit = mat_min.light.normalize_safe() * mat_min.brightness
@@ -481,8 +535,15 @@ def render_pixels_diff(
                 rd_b = Vec3(seg_rd.x[b], seg_rd.y[b], seg_rd.z[b])
                 excl = (sg(seg_idx[b]), sg(seg_idx[b - 1]))
                 checks_b, _ = bounds_fn(ro_b, rd_b, gv)
-                d_b, t_b, i_b = closest_fn2(ro_b, rd_b, gv, checks_b, excl)
-                beta_b = jnp.maximum(sg(t_b), 0.2) * inv_foot
+                # t_stop = the segment's own hit distance: with the winner
+                # excluded from tracking AND the march continuing through
+                # surfaces (signed closest approach), grazes beyond the
+                # path's end must not register (round-3 phantom-inflation
+                # finding, kernels/train.py:_make_excl_closest).
+                d_b, t_b, i_b = closest_fn2(ro_b, rd_b, gv, checks_b, excl,
+                                            t_stop=sg(_seg_t[b]))
+                beta_b = (jnp.maximum(sg(t_b), 0.2) * inv_foot
+                          * edge_slope(ro_b, rd_b, sg(t_b), checks_b))
                 c_b = jax.nn.sigmoid((MHD - d_b) / beta_b)
                 mat_b = gather_mat(i_b)
                 emit_b = mat_b.light.normalize_safe() * mat_b.brightness

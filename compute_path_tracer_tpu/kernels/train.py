@@ -689,6 +689,30 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 for c, cot in enumerate(_mat_flat(mat_cot)):
                     mat_cot_ref[b, c] = cot
 
+        def _edge_slope(ro_, rd_, t_, checks_):
+            # Slope-aware bandwidth factor (round 5, mirrors
+            # diff/vjp.py:edge_slope): the ray-perpendicular component of
+            # the map gradient at the argmin point converts d_min into
+            # true screen-space edge distance.  Six plain-guard map taps
+            # (anyhit=None: the guarded-select conds fail Mosaic layout
+            # inference outside the march loop - same workaround class as
+            # the debug paths).
+            p_ = ro_ + rd_ * t_
+            e_ = jnp.float32(1e-4)
+
+            def tap(dx, dy, dz):
+                return map_d(Vec3(p_.x + dx, p_.y + dy, p_.z + dz),
+                             bv, checks_, None)
+
+            n_ = Vec3(
+                tap(e_, 0.0, 0.0) - tap(-e_, 0.0, 0.0),
+                tap(0.0, e_, 0.0) - tap(0.0, -e_, 0.0),
+                tap(0.0, 0.0, e_) - tap(0.0, 0.0, -e_),
+            ).normalize_safe()
+            g_par = n_.x * rd_.x + n_.y * rd_.y + n_.z * rd_.z
+            perp = jnp.sqrt(jnp.maximum(1.0 - g_par * g_par, 1e-6))
+            return jnp.clip(perp, 0.15, 1.0)
+
         if edge_grad:
             # Primary-silhouette coverage term (diff/vjp.py edge_grad
             # semantics, fused): c = sigmoid((MHD - d_min)/beta) with the
@@ -698,7 +722,8 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             # the batched map vjp (fallback) with
             # w = -dL.proxy * sigma'(z) / beta at the argmin point.
             beta = jnp.maximum(edge_tmin, 0.2) * (
-                jnp.float32(2.0 * edge_beta / height) / fov)
+                jnp.float32(2.0 * edge_beta / height) / fov
+            ) * _edge_slope(ro0, rd0, edge_tmin, checks0)
             z = (jnp.float32(MHD) - edge_dmin) / beta
             cvg = jax.nn.sigmoid(z)
             sig_p = cvg * (1.0 - cvg)
@@ -742,7 +767,9 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 t2 = sec_t_s[b]
                 i2 = sec_i_s[b]
                 ret_b = Vec3(ret_s[b, 0], ret_s[b, 1], ret_s[b, 2])
-                beta2 = jnp.maximum(t2, 0.2) * inv_foot2
+                checks_b, _tn_b, _tf_b, _dbg_b = bounds_fn(ro_b, rd_b, bv)
+                beta2 = (jnp.maximum(t2, 0.2) * inv_foot2
+                         * _edge_slope(ro_b, rd_b, t2, checks_b))
                 c2 = jax.nn.sigmoid((jnp.float32(MHD) - d2) / beta2)
                 sig2 = c2 * (1.0 - c2)
                 mat2 = gather_mat(i2)
