@@ -56,20 +56,18 @@ def optimize_to_target(
     flat-lit shape's POSITION, where smooth gradients are zero almost
     everywhere).  ``fused=True`` swaps the XLA value_and_grad for the fused
     train kernel (kernels/train.py: forward + per-pixel backward in one
-    Pallas kernel; detached-normal gradient semantics, spp=1; pass
+    Pallas kernel; detached-normal gradient semantics; pass
     ``edge_grad=True`` for the fused PRIMARY-silhouette term - without it
     the fused step cannot learn geometry) - the fast path for
-    material/large-scene optimization.  Returns
+    material/large-scene optimization.  ``spp`` works on BOTH paths
+    (round 5): the fused step averages loss/gradient over spp independent
+    frame RNG streams per optimizer step (kernels/train.py
+    make_fused_value_and_grad).  Returns
     final params and the per-step loss trace.
     """
     if fused:
         from ..kernels.train import check_no_refraction, make_fused_value_and_grad
 
-        if spp != 1:
-            raise ValueError(
-                "fused=True supports spp=1; use the XLA path for "
-                "multi-sample optimization"
-            )
         if not implicit or geometry != "faithful" or march != "xla":
             # The fused kernel has fixed semantics (baked geometry, on-chip
             # march, detached normals); a caller explicitly requesting the
@@ -86,7 +84,7 @@ def optimize_to_target(
         vag = make_fused_value_and_grad(
             spec, target, width=width, height=height, bounces=bounces,
             interpret=interpret, edge_grad=edge_grad, edge_beta=edge_beta,
-            edge_secondary=edge_secondary, edge_beta2=edge_beta2,
+            edge_secondary=edge_secondary, edge_beta2=edge_beta2, spp=spp,
         )
         # Pin refract_chance at its (checked-zero) init: the fused model
         # cannot represent nonzero values (forward shades them as 0), so

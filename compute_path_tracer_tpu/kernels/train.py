@@ -242,7 +242,7 @@ def _make_excl_closest(spec: SceneSpec):
             return jnp.logical_and(step < STEPS, jnp.min(done_i) < 1)
 
         def body(c):
-            step, t, done_i, d_min, t_min = c
+            step, t, done_i, was_neg_i, d_min, t_min = c
             done = done_i != 0
             p = ro + rd * t
             d = fold(p, bv, checks, anyhit, excl1, excl2, False)
@@ -250,12 +250,23 @@ def _make_excl_closest(spec: SceneSpec):
             d_min = jnp.where(better, d, d_min)
             t_min = jnp.where(better, t, t_min)
             ad = jnp.abs(d)
-            nt = jnp.where(done, t, t + ad)
-            ndone = done | (ad < MHD) | (nt > FP) | (nt > t_stop)
-            return step + 1, nt, ndone.astype(jnp.int32), d_min, t_min
+            # Round 5 (signed continuation, mirrors diff/vjp.py): march
+            # THROUGH crossings of the excluded-leaf field with a floored
+            # step instead of stopping at |d| < MHD, tracking the signed
+            # minimum; stop on exit of the first penetrated leaf.  In
+            # union-only scenes nothing crosses before t_stop, so this
+            # only changes carved-tree behavior (the documented
+            # leaf-fold approximation class).
+            nt = jnp.where(done, t, t + jnp.maximum(ad, jnp.float32(2e-3)))
+            exited = (was_neg_i != 0) & (d > 0.0)
+            nwas = was_neg_i | (d < 0.0).astype(jnp.int32)
+            ndone = done | exited | (nt > FP) | (nt > t_stop)
+            return (step + 1, nt, ndone.astype(jnp.int32), nwas,
+                    d_min, t_min)
 
-        init = (jnp.int32(0), t0, done0, t0 + jnp.float32(_BIG), t0)
-        _, _, _, d_min, t_min = lax.while_loop(cond, body, init)
+        init = (jnp.int32(0), t0, done0, done0 * 0,
+                t0 + jnp.float32(_BIG), t0)
+        _, _, _, _, d_min, t_min = lax.while_loop(cond, body, init)
         p_star = ro + rd * t_min
         _d2, i_min = fold(p_star, bv, checks, anyhit, excl1, excl2, True)
         i_min = jnp.where(d_min < jnp.float32(0.5 * _BIG), i_min, -1)
@@ -559,6 +570,63 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             checks0, tns0, tfs0, _dbg0 = bounds_fn(ro0, rd0, bv)
             ivals0 = _interval_scalars(checks0, tns0, tfs0)
             anyhit0 = tuple(None if iv is None else iv[0] for iv in ivals0)
+
+            # Round-5 SIGNED continuation (mirrors diff/vjp.py
+            # _march_closest): the render march clamps every hit lane's
+            # tracked min into [0, MHD], deleting the INTERIOR half of
+            # the coverage ramp (the measured ~2x cube-family deficit).
+            # Hit lanes continue from their hit THROUGH the surface with
+            # a floored step, tracking the signed minimum (-penetration
+            # depth), and stop on exit of the first penetrated shape so
+            # geometry behind the hit cannot erase the front signal.
+            hit0 = edge_dmin < jnp.float32(MHD)
+            t_hit0 = seg_t_ref[0]
+
+            def cont_cond(c):
+                step, _t, done_i = c[0], c[1], c[2]
+                return jnp.logical_and(step < 32, jnp.min(done_i) < 1)
+
+            def cont_body(c):
+                step, t, done_i, was_neg_i, d_mn, t_mn = c
+                done = done_i != 0
+                t_hi = jnp.max(jnp.where(done, -_BIG, t))
+                t_lo = jnp.min(jnp.where(done, _BIG, t))
+                active = []
+                m = jnp.float32(_BIG)
+                for iv in ivals0:
+                    if iv is None:
+                        active.append(None)
+                        continue
+                    any_h, tn_min, tf_max = iv
+                    not_reached = tn_min > t_hi
+                    a = any_h & ~not_reached & (tf_max >= t_lo)
+                    active.append(a)
+                    m = jnp.where(any_h & not_reached,
+                                  jnp.minimum(m, tn_min), m)
+                d = map_d(ro0 + rd0 * t, bv, checks0, tuple(active))
+                better = (~done) & (d < d_mn)
+                d_mn = jnp.where(better, d, d_mn)
+                t_mn = jnp.where(better, t, t_mn)
+                ad = jnp.abs(d)
+                step_len = jnp.minimum(
+                    jnp.maximum(ad, jnp.float32(2e-3)),
+                    jnp.maximum(m - t, MHD))
+                nt = jnp.where(done, t, t + step_len)
+                exited = (was_neg_i != 0) & (d > 0.0)
+                nwas = was_neg_i | (d < 0.0).astype(jnp.int32)
+                ndone = done | exited | (nt > FP)
+                return (step + 1, nt, ndone.astype(jnp.int32), nwas,
+                        d_mn, t_mn)
+
+            cinit = (jnp.int32(0), t_hit0, (~hit0).astype(jnp.int32),
+                     jnp.zeros_like(edge_dmin, jnp.int32),
+                     jnp.full_like(edge_dmin, _BIG), t_hit0)
+            _, _, _, _, c_dmin, c_tmin = lax.while_loop(
+                cont_cond, cont_body, cinit)
+            deeper = c_dmin < edge_dmin
+            edge_tmin = jnp.where(deeper, c_tmin, edge_tmin)
+            edge_dmin = jnp.minimum(edge_dmin, c_dmin)
+
             _d_at_min, edge_imin = map_ids(ro0 + rd0 * edge_tmin, bv,
                                            checks0, anyhit0)
             edge_imin = jnp.where(edge_dmin < jnp.float32(0.5 * _BIG),
@@ -1045,10 +1113,19 @@ def make_fused_value_and_grad(
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
     edge_beta2: float = 0.5,
+    spp: int = 1,
 ):
     """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE
     between the rendered frame and ``target`` and grad is d loss / d params -
     the whole per-pixel backward fused on-chip.
+
+    ``spp > 1`` (round 5) averages loss and gradient over ``spp``
+    independent per-pixel RNG streams per optimizer step - the fused
+    realization of the XLA path's sample axis, implemented exactly as the
+    reference implements its own sample axis: consecutive FRAME streams
+    (test_compute.glsl:242-245 accumulates frames; here the step averages
+    ``frame*spp + s`` for s in [0, spp)).  Per-step gradient variance
+    drops ~1/spp at spp-proportional cost (benchmarks/fused_spp.py).
 
     Gradient semantics = ``diff/vjp.py:render_pixels_diff`` with
     ``march="pallas", normals="detached", geometry="baked"`` (see module
@@ -1095,21 +1172,36 @@ def make_fused_value_and_grad(
 
     inv_n = 1.0 / float(width * height * 3)
 
+    if spp < 1:
+        raise ValueError("spp must be >= 1")
+
     def step(params, frame=0):
         check_no_refraction(spec, params)
-        sse, grad, col = _fused_sse_and_grad_impl(
-            spec, jnp.asarray(params, jnp.float32), target_planes,
-            jnp.asarray(frame, jnp.int32), jnp.float32(fov),
-            jnp.float32(aspect), jnp.int32(0), width=width, height=height,
-            crop_h=height, bounces=bounces, tile_h=th, tile_w=tw,
-            interpret=interpret, analytic_unboxed=analytic_unboxed,
-            edge_grad=edge_grad, edge_beta=edge_beta,
-            edge_secondary=edge_secondary, edge_beta2=edge_beta2,
-        )
-        loss = sse * inv_n
+        pv = jnp.asarray(params, jnp.float32)
+        frame = jnp.asarray(frame, jnp.int32)
+        sse = jnp.float32(0.0)
+        grad = jnp.zeros_like(pv)
+        col_acc = None
+        for s in range(spp):
+            sse_s, grad_s, col = _fused_sse_and_grad_impl(
+                spec, pv, target_planes,
+                frame * spp + s, jnp.float32(fov),
+                jnp.float32(aspect), jnp.int32(0), width=width,
+                height=height, crop_h=height, bounces=bounces, tile_h=th,
+                tile_w=tw, interpret=interpret,
+                analytic_unboxed=analytic_unboxed,
+                edge_grad=edge_grad, edge_beta=edge_beta,
+                edge_secondary=edge_secondary, edge_beta2=edge_beta2,
+            )
+            sse = sse + sse_s
+            grad = grad + grad_s
+            if with_image:
+                col_acc = col if col_acc is None else col_acc + col
+        inv_spp = 1.0 / spp
+        loss = sse * inv_n * inv_spp
         if with_image:
-            img = jnp.transpose(col[:, :height, :width], (1, 2, 0))
-            return loss, grad, img
-        return loss, grad
+            img = jnp.transpose(col_acc[:, :height, :width], (1, 2, 0))
+            return loss, grad * inv_spp, img * inv_spp
+        return loss, grad * inv_spp
 
     return step

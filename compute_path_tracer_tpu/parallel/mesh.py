@@ -74,6 +74,7 @@ def render_frame_sharded(
     tile: tuple = None,
     geometry: str = "faithful",
     t_cull: bool = False,
+    analytic_all: bool = False,
     interpret: bool = None,
 ):
     """One progressively-accumulated frame with row bands sharded over the
@@ -107,7 +108,7 @@ def render_frame_sharded(
 
     run = _sharded_frame_runner(
         spec, mesh, backend, width, height, debug, band_h, tile,
-        geometry, t_cull, interpret,
+        geometry, t_cull, interpret, analytic_all,
     )
     return run(
         jnp.asarray(params, jnp.float32),
@@ -122,7 +123,8 @@ def render_frame_sharded(
 
 @lru_cache(maxsize=64)
 def _sharded_frame_runner(spec, mesh, backend, width, height, debug, band_h,
-                          tile, geometry, t_cull, interpret):
+                          tile, geometry, t_cull, interpret,
+                          analytic_all=False):
     """Build (once per static configuration) the jitted shard_map'd frame
     function.  Building it inside every render_frame_sharded call re-traced
     the whole sharded program per frame - measured as a 4x 'overhead' on the
@@ -157,7 +159,8 @@ def _sharded_frame_runner(spec, mesh, backend, width, height, debug, band_h,
                 y0,
                 width=width, height=height, debug=debug,
                 tile_h=th, tile_w=tw,
-                geometry=geometry, t_cull=t_cull, interpret=interpret,
+                geometry=geometry, t_cull=t_cull,
+                analytic_all=analytic_all, interpret=interpret,
             )
             return jnp.transpose(out[:, :band_h, :width], (1, 2, 0))
 

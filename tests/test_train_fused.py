@@ -395,3 +395,40 @@ def test_fused_bounces_zero_edge():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_fused_spp_averages_frame_streams(cs, target):
+    """Round 5: the fused step's spp>1 mode is EXACTLY the mean of the
+    spp=1 steps over the consecutive frame window [frame*spp, frame*spp
+    + spp) - the reference's own sample axis (frame accumulation,
+    test_compute.glsl:242-245) realized as gradient averaging."""
+    one = make_fused_value_and_grad(cs.spec, target, width=W, height=H,
+                                    bounces=BOUNCES, interpret=True)
+    two = make_fused_value_and_grad(cs.spec, target, width=W, height=H,
+                                    bounces=BOUNCES, interpret=True, spp=2)
+    pv = jnp.asarray(cs.params)
+    l0, g0 = one(pv, frame=6)
+    l1, g1 = one(pv, frame=7)
+    l2, g2 = two(pv, frame=3)
+    np.testing.assert_allclose(float(l2), (float(l0) + float(l1)) / 2,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2),
+                               (np.asarray(g0) + np.asarray(g1)) / 2,
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_fused_optimizer_spp():
+    """optimize_to_target(fused=True, spp=2) runs and descends."""
+    from compute_path_tracer_tpu.diff.inverse import optimize_to_target
+    from compute_path_tracer_tpu.scene.library import edge_demo
+
+    cs2 = compile_scene(edge_demo())
+    tgt = np.asarray(
+        render_image_diff(cs2.spec, jnp.asarray(cs2.params), width=32,
+                          height=16, bounces=1, geometry="baked"))
+    p0 = np.asarray(cs2.params).copy()
+    res = optimize_to_target(
+        cs2.spec, p0 * 1.05, tgt, steps=2, width=32, height=16, bounces=1,
+        fused=True, spp=2, edge_grad=True, interpret=True,
+    )
+    assert np.isfinite(res.losses).all()
