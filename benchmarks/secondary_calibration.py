@@ -10,7 +10,7 @@ gradient against the centered finite difference of the spp-averaged loss
 ``ratio = grad_estimator / grad_fd``; feeds the band asserted in
 tests/test_edge.py::test_edge_secondary_recovers_occluder_gradient.
 
-Writes benchmarks/artifacts/secondary_calibration_r04.jsonl.
+Writes benchmarks/artifacts/secondary_calibration_r05.jsonl.
 Run on CPU: JAX_PLATFORMS=cpu python benchmarks/secondary_calibration.py
 """
 
@@ -68,7 +68,7 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "artifacts", "secondary_calibration_r04.jsonl")
+                       "artifacts", "secondary_calibration_r05.jsonl")
     with open(out, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -49,9 +49,19 @@ def cmd_render(args) -> int:
 
     frame_fn = None
     if args.backend == "pallas":
+        from functools import partial
+
         from ..kernels import render_frame_pallas
 
         frame_fn = render_frame_pallas
+        if args.mode == "analytic":
+            # Full-analytic bounce (kernels/megakernel.py analytic_all):
+            # union-only scenes, 6.4x the faithful march on TPU.
+            frame_fn = partial(render_frame_pallas, geometry="baked",
+                               analytic_all=True)
+        elif args.mode == "tcull":
+            frame_fn = partial(render_frame_pallas, geometry="baked",
+                               t_cull=True)
     sess = RenderSession(scene, args.width, args.height, settings, frame_fn=frame_fn)
 
     t0 = time.perf_counter()
@@ -200,6 +210,11 @@ def main(argv=None) -> int:
     r.add_argument("--fov", type=float, default=1.0)
     r.add_argument("--scale", type=float, default=1.0)
     r.add_argument("--backend", default="xla", choices=("xla", "pallas"))
+    r.add_argument("--mode", default="faithful",
+                   choices=("faithful", "tcull", "analytic"),
+                   help="pallas only: faithful march, t-interval-culled "
+                        "march, or the full-analytic bounce (union-only "
+                        "scenes; fastest)")
     r.add_argument("--out", default="image.png")
     r.add_argument("--tonemap", default="gamma", choices=("gamma", "aces"))
     r.add_argument("--checkpoint", default=None)
@@ -211,7 +226,9 @@ def main(argv=None) -> int:
     o.add_argument("--width", type=int, default=64)
     o.add_argument("--height", type=int, default=64)
     o.add_argument("--bounces", type=int, default=2)
-    o.add_argument("--spp", type=int, default=1)
+    o.add_argument("--spp", type=int, default=1,
+                   help="samples per optimizer step (works on the XLA AND "
+                        "the fused path; fused averages frame streams)")
     o.add_argument("--steps", type=int, default=50)
     o.add_argument("--lr", type=float, default=2e-2)
     o.add_argument("--perturb", type=float, default=0.05)

@@ -42,7 +42,7 @@ def optimize_to_target(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
     march: str = "xla",
     fused: bool = False,
     interpret: Optional[bool] = None,

@@ -286,7 +286,7 @@ def render_pixels_diff(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -337,9 +337,11 @@ def render_pixels_diff(
     closest shape's emissive on miss lanes.  ``edge_beta`` scales
     the coverage bandwidth in pixel-footprint units; the default 0.5 is
     CALIBRATED against the spp-averaged finite difference of the loss on
-    the flat-lit-sphere scene (benchmarks/edge_calibration.py, artifact
-    benchmarks/artifacts/edge_calibration_r03.jsonl: ratios 0.79-1.51
-    across target offsets 0.1-0.3, vs 0.44-0.95 at the former beta=1).
+    the flat-lit-sphere scene (benchmarks/edge_calibration.py; with the
+    round-5 SIGNED closest approach - see :func:`_march_closest` - and
+    the slope-aware bandwidth the ratios are 0.71-0.99 across target
+    offsets on the sphere and 0.70-0.94 across the rotated/scaled CUBE
+    families, artifacts edge_calibration_ext_r05.jsonl).
 
     ``edge_secondary=True`` (with ``edge_grad``) extends the estimator to
     SECONDARY-bounce visibility edges - the term round 3 measured DOMINANT
@@ -357,9 +359,15 @@ def render_pixels_diff(
     emission if the edge flipped to a hit.  Values stay bit-identical (the
     correction is ``c - stop_grad(c)`` as for the primary term); cost is
     one extra closest-approach march per bounce.  ``edge_beta2`` is the
-    secondary bandwidth scale (same footprint formula), calibrated on the
-    adversarial occluder scene (benchmarks/secondary_edge.py, artifact
-    secondary_edge_r04.jsonl).  Self-shadowing by the respawn surface
+    secondary bandwidth scale (same footprint formula); the round-5
+    default 2.0 is calibrated on the adversarial occluder scene across
+    translation AND rotation/scale sweeps (bands 0.54-0.97 everywhere,
+    artifacts secondary_calibration_ext_r05.jsonl) - the secondary d_b
+    population is sampled by RANDOM bounce directions, far sparser than
+    the primary's pixel raster, so its window must span more samples
+    than the pixel-footprint formula alone suggests (narrower bandwidths
+    MEASURED worse: 0.5 -> band 0.31-0.95, 0.25 -> 0.19-0.96).
+    Self-shadowing by the respawn surface
     itself is excluded by construction (documented limitation).
     """
     if not implicit:
@@ -584,7 +592,7 @@ def render_image_diff(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",
@@ -631,7 +639,7 @@ def make_loss(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
     march: str = "xla",
     march_interpret: bool = False,
     normals: str = "central",

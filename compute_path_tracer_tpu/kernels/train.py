@@ -279,7 +279,7 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                        bounces: int, tile_h: int, tile_w: int,
                        winner_geom: bool, analytic_unboxed: bool = False,
                        edge_grad: bool = False, edge_beta: float = 0.5,
-                       edge_secondary: bool = False, edge_beta2: float = 0.5):
+                       edge_secondary: bool = False, edge_beta2: float = 2.0):
     B1 = bounces + 1
     # With edge gradients the kernel emits one extra pseudo-segment (row B1)
     # carrying the PRIMARY-silhouette coverage term: per pixel, the closest
@@ -869,7 +869,7 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   row_offset, y_limit, *, width, height, bounces, tile_h,
                   tile_w, interpret, winner_geom=False,
                   analytic_unboxed=False, edge_grad=False, edge_beta=0.5,
-                  edge_secondary=False, edge_beta2=0.5):
+                  edge_secondary=False, edge_beta2=2.0):
     B1 = bounces + 1
     # Primary-extended row count for the NON-WINNER seg_* output blocks
     # (winner mode emits no seg_idx/geom_cot planes at all - it reduces
@@ -1004,7 +1004,7 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
                              bounces, tile_h, tile_w, interpret,
                              analytic_unboxed=False, edge_grad=False,
                              edge_beta=0.5, edge_secondary=False,
-                             edge_beta2=0.5):
+                             edge_beta2=2.0):
     """Band-shardable core: renders the rows [row_offset, row_offset+crop_h)
     of the global (height, width) image (``target_planes`` covers just that
     band, padded to tiles) and returns the band's summed squared error, its
@@ -1112,7 +1112,7 @@ def make_fused_value_and_grad(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
     spp: int = 1,
 ):
     """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE

@@ -408,7 +408,7 @@ def make_fused_sharded_train_step(
     edge_grad: bool = False,
     edge_beta: float = 0.5,
     edge_secondary: bool = False,
-    edge_beta2: float = 0.5,
+    edge_beta2: float = 2.0,
 ):
     """Distributed training step over the FUSED kernel (kernels/train.py):
     each chip runs the forward+per-pixel-backward kernel on its row band
