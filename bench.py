@@ -272,7 +272,8 @@ def bench_forward_analytic_all(cs):
     }
 
 
-def bench_fused(cs, analytic=False, edge=False, secondary=False):
+def bench_fused(cs, analytic=False, edge=False, secondary=False,
+                analytic_all=False):
     """The fused train step (kernels/train.py): forward render + per-pixel
     backward in one Pallas kernel, parameter scatters in XLA.  Gradient
     semantics = normals="detached" (the fast-training configuration).
@@ -289,6 +290,7 @@ def bench_fused(cs, analytic=False, edge=False, secondary=False):
     step = make_fused_value_and_grad(
         cs.spec, target, width=WIDTH, height=HEIGHT, bounces=BOUNCES,
         analytic_unboxed=analytic, edge_grad=edge, edge_secondary=secondary,
+        analytic_all=analytic_all,
     )
     _, g = step(cs.params)
     np.asarray(g[:2]).sum()  # compile + warm (D2H sync)
@@ -302,6 +304,8 @@ def bench_fused(cs, analytic=False, edge=False, secondary=False):
     rays = WIDTH * HEIGHT * (BOUNCES + 1)
     value = rays / dt
     label = ", analytic_unboxed" if analytic else ""
+    if analytic_all:
+        label += ", analytic_all"
     if edge:
         label += ", edge_grad"
     if secondary:
@@ -403,6 +407,17 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
                 "metric": "fwd path-trace rays/s/chip, analytic_unboxed",
                 "error": f"{type(e).__name__}: {e}"[:300],
             }), flush=True)
+    # Round-5 fast trainer: fused step with the FULL-analytic phase 1 +
+    # primary edge gradients (508 -> 240 ms with geometry learning;
+    # 165 ms geometry-blind, fused_analytic_all_r05.jsonl).
+    try:
+        print(json.dumps(bench_fused(_CS, analytic_all=True, edge=True)),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd+bwd train-step, fused + analytic_all + edge",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
     print(json.dumps(bench_forward(_CS)), flush=True)
     # Round-5 HEADLINE (printed LAST so the driver records it): the
     # full-analytic bounce.  The faithful marching row above remains the

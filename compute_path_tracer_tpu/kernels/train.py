@@ -279,7 +279,8 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                        bounces: int, tile_h: int, tile_w: int,
                        winner_geom: bool, analytic_unboxed: bool = False,
                        edge_grad: bool = False, edge_beta: float = 0.5,
-                       edge_secondary: bool = False, edge_beta2: float = 2.0):
+                       edge_secondary: bool = False, edge_beta2: float = 2.0,
+                       analytic_all: bool = False):
     B1 = bounces + 1
     # With edge gradients the kernel emits one extra pseudo-segment (row B1)
     # carrying the PRIMARY-silhouette coverage term: per pixel, the closest
@@ -296,6 +297,20 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     # accumulators): B1 = primary; B1 + b (b = 1..B1-1) = the secondary
     # coverage term of bounce b's segment.
     sec_march = _make_excl_closest(spec) if edge_secondary else None
+    analytic_full = None
+    if analytic_all:
+        from .megakernel import _make_analytic_all
+
+        if analytic_unboxed:
+            raise ValueError("analytic_all subsumes analytic_unboxed; "
+                             "enable only one")
+        # Round 5: the fused trainer's phase-1 forward loses the march and
+        # the 6 FD normal taps entirely - winner t/idx from the per-lane
+        # argmin of closed-form intersections, EXACT analytic normals
+        # feeding the implicit A/B factors (g = n * 2 eps keeps the
+        # downstream 0.5/eps normalization exact).  Raises if the tree is
+        # not union-only plane/sphere/cube/octahedron.
+        analytic_full = _make_analytic_all(spec)
     analytic = None
     if analytic_unboxed:
         from ..render.baked import analytic_eligible_ids
@@ -428,60 +443,81 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             checks, tns, tfs, _dbg = bounds_fn(ro, rd, bv)
             checks = tuple(None if c is None else c & alive for c in checks)
             ivals = _interval_scalars(checks, tns, tfs)
-            if analytic is not None:
-                t_cap, cap_idx = analytic[0](ro, rd, bv)
+            if analytic_full is not None:
+                # FULL-analytic bounce (round 5, megakernel analytic_all
+                # semantics): winner = per-lane argmin closed-form hit
+                # among the shapes in the ray's map; no march, no FD taps.
+                anyhit_b = tuple(
+                    None if iv is None else iv[0] for iv in ivals
+                )
+                t, idx = analytic_full[0](ro, rd, bv, checks, anyhit_b)
+                miss = t > FP
+                act = alive & ~miss
+                hit = ro + rd * t
+                n_an = analytic_full[1](hit, idx, bv, anyhit_b)
+                g = n_an * jnp.float32(2.0 * _EPS_N)
+                n = n_an
+                denom = g.dot(rd) * jnp.float32(0.5 / _EPS_N)
+                safe = (jnp.abs(denom) > _DENOM_EPS) & act
+                invd = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0),
+                                 0.0)
             else:
-                t_cap = cap_idx = None
-            if edge_grad:
-                t, tp, d_min, t_min = _march_while_tcull(
-                    map_d, ro, rd, bv, checks, ivals, alive=alive,
-                    t_cap=t_cap, with_closest=True)
-                keep = b == 0
-                e_dmin = jnp.where(keep, d_min, e_dmin)
-                e_tmin = jnp.where(keep, t_min, e_tmin)
-            else:
-                t, tp = _march_while_tcull(map_d, ro, rd, bv, checks, ivals,
-                                           alive=alive, t_cap=t_cap)
+                if analytic is not None:
+                    t_cap, cap_idx = analytic[0](ro, rd, bv)
+                else:
+                    t_cap = cap_idx = None
+                if edge_grad:
+                    t, tp, d_min, t_min = _march_while_tcull(
+                        map_d, ro, rd, bv, checks, ivals, alive=alive,
+                        t_cap=t_cap, with_closest=True)
+                    keep = b == 0
+                    e_dmin = jnp.where(keep, d_min, e_dmin)
+                    e_tmin = jnp.where(keep, t_min, e_tmin)
+                else:
+                    t, tp = _march_while_tcull(map_d, ro, rd, bv, checks,
+                                               ivals, alive=alive,
+                                               t_cap=t_cap)
 
-            miss = t > FP
-            act = alive & ~miss
-            capped = None if t_cap is None else act & (t >= t_cap)
-            hit = ro + rd * t
+                miss = t > FP
+                act = alive & ~miss
+                capped = None if t_cap is None else act & (t >= t_cap)
+                hit = ro + rd * t
 
-            # Hit-front aux actives (megakernel t_cull branch semantics).
-            th_hi = jnp.max(jnp.where(act, t, -_BIG))
-            th_lo = jnp.min(jnp.where(act, t, _BIG)) - MHD
-            hit_act = tuple(
-                None if iv is None
-                else (iv[0] & (iv[1] <= th_hi) & (iv[2] >= th_lo))
-                for iv in ivals
-            )
-            idx = _final_idx(map_ids, ro, rd, bv, checks, hit_act, t, tp)
+                # Hit-front aux actives (megakernel t_cull semantics).
+                th_hi = jnp.max(jnp.where(act, t, -_BIG))
+                th_lo = jnp.min(jnp.where(act, t, _BIG)) - MHD
+                hit_act = tuple(
+                    None if iv is None
+                    else (iv[0] & (iv[1] <= th_hi) & (iv[2] >= th_lo))
+                    for iv in ivals
+                )
+                idx = _final_idx(map_ids, ro, rd, bv, checks, hit_act, t, tp)
 
-            # 6-tap central difference: normal AND the implicit-gradient g_p.
-            e = jnp.float32(_EPS_N)
+                # 6-tap central difference: normal AND implicit g_p.
+                e = jnp.float32(_EPS_N)
 
-            def tap(dx, dy, dz):
-                return map_d(Vec3(hit.x + dx, hit.y + dy, hit.z + dz),
-                             bv, checks, hit_act)
+                def tap(dx, dy, dz):
+                    return map_d(Vec3(hit.x + dx, hit.y + dy, hit.z + dz),
+                                 bv, checks, hit_act)
 
-            g = Vec3(
-                tap(e, 0.0, 0.0) - tap(-e, 0.0, 0.0),
-                tap(0.0, e, 0.0) - tap(0.0, -e, 0.0),
-                tap(0.0, 0.0, e) - tap(0.0, 0.0, -e),
-            )
-            if capped is not None:
-                # Analytic winners: exact ids and exact UNIT surface
-                # gradients (scaled so g * 0.5/e recovers a unit normal -
-                # the implicit A/B factors and the FD normalization both
-                # stay correct).
-                idx = jnp.where(capped, cap_idx, idx)
-                n_an = analytic[1](hit, cap_idx, bv)
-                g = vwhere(capped, n_an * jnp.float32(2.0 * _EPS_N), g)
-            n = g.normalize_safe()
-            denom = g.dot(rd) * jnp.float32(0.5 / _EPS_N)
-            safe = (jnp.abs(denom) > _DENOM_EPS) & act
-            invd = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
+                g = Vec3(
+                    tap(e, 0.0, 0.0) - tap(-e, 0.0, 0.0),
+                    tap(0.0, e, 0.0) - tap(0.0, -e, 0.0),
+                    tap(0.0, 0.0, e) - tap(0.0, 0.0, -e),
+                )
+                if capped is not None:
+                    # Analytic winners: exact ids and exact UNIT surface
+                    # gradients (scaled so g * 0.5/e recovers a unit
+                    # normal - the implicit A/B factors and the FD
+                    # normalization both stay correct).
+                    idx = jnp.where(capped, cap_idx, idx)
+                    n_an = analytic[1](hit, cap_idx, bv)
+                    g = vwhere(capped, n_an * jnp.float32(2.0 * _EPS_N), g)
+                n = g.normalize_safe()
+                denom = g.dot(rd) * jnp.float32(0.5 / _EPS_N)
+                safe = (jnp.abs(denom) > _DENOM_EPS) & act
+                invd = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0),
+                                 0.0)
 
             if edge_secondary:
                 # Secondary coverage inputs: the exclusion-masked leaf
@@ -581,10 +617,15 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
             # geometry behind the hit cannot erase the front signal.
             hit0 = edge_dmin < jnp.float32(MHD)
             t_hit0 = seg_t_ref[0]
+            # analytic_all: there was no bounce-0 march to track the miss
+            # side, so the signed march runs the FULL ray from t = 0 (the
+            # one march this configuration pays, replacing B1 of them);
+            # otherwise it only CONTINUES hit lanes through the surface.
+            cont_cap = (STEPS + 32) if analytic_full is not None else 32
 
             def cont_cond(c):
                 step, _t, done_i = c[0], c[1], c[2]
-                return jnp.logical_and(step < 32, jnp.min(done_i) < 1)
+                return jnp.logical_and(step < cont_cap, jnp.min(done_i) < 1)
 
             def cont_body(c):
                 step, t, done_i, was_neg_i, d_mn, t_mn = c
@@ -618,9 +659,16 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
                 return (step + 1, nt, ndone.astype(jnp.int32), nwas,
                         d_mn, t_mn)
 
-            cinit = (jnp.int32(0), t_hit0, (~hit0).astype(jnp.int32),
-                     jnp.zeros_like(edge_dmin, jnp.int32),
-                     jnp.full_like(edge_dmin, _BIG), t_hit0)
+            if analytic_full is not None:
+                zt = jnp.zeros_like(edge_dmin)
+                cinit = (jnp.int32(0), zt,
+                         jnp.zeros_like(edge_dmin, jnp.int32),
+                         jnp.zeros_like(edge_dmin, jnp.int32),
+                         jnp.full_like(edge_dmin, _BIG), zt)
+            else:
+                cinit = (jnp.int32(0), t_hit0, (~hit0).astype(jnp.int32),
+                         jnp.zeros_like(edge_dmin, jnp.int32),
+                         jnp.full_like(edge_dmin, _BIG), t_hit0)
             _, _, _, _, c_dmin, c_tmin = lax.while_loop(
                 cont_cond, cont_body, cinit)
             deeper = c_dmin < edge_dmin
@@ -863,13 +911,13 @@ def _make_train_kernel(spec: SceneSpec, width: int, height: int,
     static_argnames=("spec", "width", "height", "bounces", "tile_h", "tile_w",
                      "interpret", "winner_geom", "analytic_unboxed",
                      "edge_grad", "edge_beta", "edge_secondary",
-                     "edge_beta2"),
+                     "edge_beta2", "analytic_all"),
 )
 def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
                   row_offset, y_limit, *, width, height, bounces, tile_h,
                   tile_w, interpret, winner_geom=False,
                   analytic_unboxed=False, edge_grad=False, edge_beta=0.5,
-                  edge_secondary=False, edge_beta2=2.0):
+                  edge_secondary=False, edge_beta2=2.0, analytic_all=False):
     B1 = bounces + 1
     # Primary-extended row count for the NON-WINNER seg_* output blocks
     # (winner mode emits no seg_idx/geom_cot planes at all - it reduces
@@ -886,7 +934,8 @@ def _fused_planes(spec, params, bv, target_planes, frame, fov, aspect,
 
     kernel = _make_train_kernel(spec, width, height, bounces, tile_h, tile_w,
                                 winner_geom, analytic_unboxed, edge_grad,
-                                edge_beta, edge_secondary, edge_beta2)
+                                edge_beta, edge_secondary, edge_beta2,
+                                analytic_all)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def tile3(c):
@@ -997,14 +1046,15 @@ def _pad_planes(x, th, tw):
     jax.jit,
     static_argnames=("spec", "width", "height", "crop_h", "bounces", "tile_h",
                      "tile_w", "interpret", "analytic_unboxed", "edge_grad",
-                     "edge_beta", "edge_secondary", "edge_beta2"),
+                     "edge_beta", "edge_secondary", "edge_beta2",
+                     "analytic_all"),
 )
 def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
                              aspect, row_offset, *, width, height, crop_h,
                              bounces, tile_h, tile_w, interpret,
                              analytic_unboxed=False, edge_grad=False,
                              edge_beta=0.5, edge_secondary=False,
-                             edge_beta2=2.0):
+                             edge_beta2=2.0, analytic_all=False):
     """Band-shardable core: renders the rows [row_offset, row_offset+crop_h)
     of the global (height, width) image (``target_planes`` covers just that
     band, padded to tiles) and returns the band's summed squared error, its
@@ -1020,6 +1070,7 @@ def _fused_sse_and_grad_impl(spec, params, target_planes, frame, fov,
         winner_geom=winner_geom, analytic_unboxed=analytic_unboxed,
         edge_grad=edge_grad, edge_beta=edge_beta,
         edge_secondary=edge_secondary, edge_beta2=edge_beta2,
+        analytic_all=analytic_all,
     )
     geom2_acc = None
     if winner_geom:
@@ -1114,6 +1165,7 @@ def make_fused_value_and_grad(
     edge_secondary: bool = False,
     edge_beta2: float = 2.0,
     spp: int = 1,
+    analytic_all: bool = False,
 ):
     """Build ``step(params, frame=0) -> (loss, grad)`` where loss is the MSE
     between the rendered frame and ``target`` and grad is d loss / d params -
@@ -1192,6 +1244,7 @@ def make_fused_value_and_grad(
                 analytic_unboxed=analytic_unboxed,
                 edge_grad=edge_grad, edge_beta=edge_beta,
                 edge_secondary=edge_secondary, edge_beta2=edge_beta2,
+                analytic_all=analytic_all,
             )
             sse = sse + sse_s
             grad = grad + grad_s

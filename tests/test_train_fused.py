@@ -432,3 +432,44 @@ def test_fused_optimizer_spp():
         fused=True, spp=2, edge_grad=True, interpret=True,
     )
     assert np.isfinite(res.losses).all()
+
+
+def test_fused_analytic_all(target):
+    """Round 5: the fused trainer's FULL-analytic phase 1 (no march, no FD
+    normal taps; exact winner ids/normals from closed-form intersections).
+    Its loss must equal the MSE of the megakernel analytic_all render, and
+    its gradient must agree with the faithful fused step up to the
+    documented shell-landing divergence classes."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+    from compute_path_tracer_tpu.scene.library import benchmark_scene
+
+    cs = compile_scene(benchmark_scene(8))
+    pv = jnp.asarray(cs.params)
+    step = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=BOUNCES, interpret=True,
+        analytic_all=True, edge_grad=True)
+    loss, g = step(pv)
+    img = np.asarray(render_frame_pallas(
+        cs.spec, pv, width=W, height=H, bounces=BOUNCES, geometry="baked",
+        analytic_all=True, interpret=True))
+    want = float(((img - target) ** 2).mean())
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+    f_step = make_fused_value_and_grad(
+        cs.spec, target, width=W, height=H, bounces=BOUNCES, interpret=True,
+        edge_grad=True)
+    _, gf = f_step(pv)
+    gf, ga = np.asarray(gf), np.asarray(g)
+    nz = np.abs(gf) > 1e-5
+    corr = np.corrcoef(gf[nz], ga[nz])[0, 1]
+    assert corr > 0.95
+    assert np.isfinite(ga).all()
+
+
+def test_fused_analytic_all_rejects_csg():
+    cs2 = compile_scene(csg_demo())
+    with pytest.raises(ValueError):
+        make_fused_value_and_grad(
+            cs2.spec, np.zeros((H, W, 3), np.float32), width=W, height=H,
+            bounces=1, interpret=True, analytic_all=True)(
+                jnp.asarray(cs2.params))
