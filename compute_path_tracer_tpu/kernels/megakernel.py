@@ -1436,12 +1436,14 @@ def render_frame_pallas(
 @partial(
     jax.jit,
     static_argnames=("spec", "width", "height", "n_frames", "tile_h", "tile_w",
-                     "geometry", "normals", "t_cull", "interpret"),
+                     "geometry", "normals", "t_cull", "analytic_all",
+                     "interpret"),
 )
 def _accumulate_pallas_impl(
     spec, params, bounces, fov, aspect,
     *, width, height, n_frames, tile_h, tile_w,
-    geometry="faithful", normals="central", t_cull=False, interpret=False,
+    geometry="faithful", normals="central", t_cull=False, analytic_all=False,
+    interpret=False,
 ):
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -1453,6 +1455,7 @@ def _accumulate_pallas_impl(
             width=width, height=height, debug=0,
             tile_h=tile_h, tile_w=tile_w,
             geometry=geometry, normals=normals, t_cull=t_cull,
+            analytic_all=analytic_all,
             interpret=interpret,
         )
 
@@ -1474,6 +1477,7 @@ def render_accumulated_pallas(
     geometry: str = "faithful",
     normals: str = "central",
     t_cull: bool = False,
+    analytic_all: bool = False,
     interpret: bool = False,
 ):
     """Fused multi-frame progressive accumulation: the accumulator stays
@@ -1495,5 +1499,6 @@ def render_accumulated_pallas(
         geometry=geometry,
         normals=normals,
         t_cull=t_cull,
+        analytic_all=analytic_all,
         interpret=interpret,
     )

@@ -113,6 +113,7 @@ def test_inverse_rendering_recovers(cs):
     np.testing.assert_allclose(got, want, atol=0.05)
 
 
+@pytest.mark.slow
 def test_detached_normals_value_identical_grad_finite(cs):
     """normals="detached" must not change the rendered value at all (the
     forward still runs the reference's 6-tap central difference) while its

@@ -397,6 +397,7 @@ def test_fused_bounces_zero_edge():
     assert np.abs(g).max() > 0.0
 
 
+@pytest.mark.slow
 def test_fused_spp_averages_frame_streams(cs, target):
     """Round 5: the fused step's spp>1 mode is EXACTLY the mean of the
     spp=1 steps over the consecutive frame window [frame*spp, frame*spp
@@ -434,6 +435,7 @@ def test_fused_optimizer_spp():
     assert np.isfinite(res.losses).all()
 
 
+@pytest.mark.slow
 def test_fused_analytic_all(target):
     """Round 5: the fused trainer's FULL-analytic phase 1 (no march, no FD
     normal taps; exact winner ids/normals from closed-form intersections).
