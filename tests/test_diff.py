@@ -162,6 +162,7 @@ def test_remat_grad_identical(cs):
     np.testing.assert_allclose(gb, ga, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_kernel_normals_match_detached(cs):
     """normals="kernel" (in-kernel 6-tap normal, kernels/march.py) must be
     bit-identical in value AND gradient to normals="detached" over the XLA
@@ -184,6 +185,7 @@ def test_kernel_normals_match_detached(cs):
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
 
 
+@pytest.mark.slow
 def test_pallas_march_cast_bit_matches_xla(cs):
     """The on-chip march cast (kernels/march.py) must produce bit-identical
     rendered values AND parameter gradients to the XLA implicit march in

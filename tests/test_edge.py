@@ -183,6 +183,7 @@ def _occluder_scene():
     return Scene([root])
 
 
+@pytest.mark.slow
 def test_edge_secondary_value_unchanged():
     """The per-bounce coverage correction is c - stop_grad(c): rendered
     values must be BIT-identical with and without edge_secondary."""

@@ -3,6 +3,7 @@ resumed from a checkpoint must finish bit-identical to an uninterrupted run
 (SURVEY.md §5 checkpoint/resume - possible because the RNG is a pure
 function of (pixel, frame))."""
 
+import pytest
 import numpy as np
 
 from compute_path_tracer_tpu.app.config import Settings
@@ -40,6 +41,7 @@ def test_resume_bit_identical(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+@pytest.mark.slow
 def test_recompile_on_structure_change_resets_progress():
     s = RenderSession(sphere_and_plane(), 16, 16, Settings(debug=0, bounces=0))
     s.render(3)

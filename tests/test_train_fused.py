@@ -76,6 +76,7 @@ def test_fused_grads_match_detached_pallas_oracle(cs, target, fused):
                                atol=1e-4 * scale)
 
 
+@pytest.mark.slow
 def test_winner_geom_backend_matches_oracle():
     """Union-only scenes take the winner-leaf geometry backend (per-pixel
     argmin-leaf partials in-kernel + one-hot-matmul segment sums outside,
