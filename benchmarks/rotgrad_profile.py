@@ -1,0 +1,102 @@
+"""Localize the primary rot_grad bias (round-6 outlook item 2).
+
+The extended calibration shows translation/scale gradients in band
+(0.70-0.94) while the ROTATION-slot gradient of the same flat-lit cube
+keeps the wrong sign at tiny |FD| (edge_calibration_ext_r05: -7.4 at
+rz=0.4).  Rotation sweeps opposite silhouette edges in opposite
+directions, so the total is a near-cancellation - a per-pixel bias that
+is invisible to translation integrates to a sign flip here.
+
+This harness computes the PER-COLUMN gradient profile (image columns
+cross the cube's left/right silhouette edges separately):
+
+  fd[j]  = d/d rz of (sum over rows, channels of column j), via central
+           differences of the spp-averaged image;
+  est[j] = the same derivative from the edge estimator, via one vjp per
+           column seeded with that column's indicator.
+
+Where est[j] tracks fd[j] and where it does not tells WHICH part of the
+silhouette mis-weights (straight edge interior vs corners vs the tilted
+top/bottom edges).  Writes benchmarks/artifacts/rotgrad_profile_r05.jsonl.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from compute_path_tracer_tpu.diff import render_image_diff
+    from compute_path_tracer_tpu.scene import (
+        KIND_CUBE, Scene, Shape, Union, compile_scene,
+    )
+
+    W = H = 64
+    SPP = 16
+    RZ = 0.4
+    EPS = 0.05
+
+    root = Union(name="Root")
+    box = root.add_shape(Shape(KIND_CUBE, name="Box"))
+    box.size3.set(0.55, 0.35, 0.55)
+    box.material.color.set(0.0, 0.0, 0.0)
+    box.material.brightness.set(2.0)
+    box.material.light_col.set(1.0, 1.0, 1.0)
+    cs = compile_scene(Scene([root]))
+    sh = cs.spec.roots[0].children_shapes[0]
+    slot_rz = sh.transform.rot[2]
+    base = np.asarray(cs.params, np.float32)
+    base[slot_rz] = RZ
+
+    def img(p, **kw):
+        return render_image_diff(cs.spec, p, width=W, height=H, bounces=0,
+                                 spp=SPP, **kw)
+
+    pp, pm = base.copy(), base.copy()
+    pp[slot_rz] += EPS
+    pm[slot_rz] -= EPS
+    fd_img = (np.asarray(img(jnp.asarray(pp)))
+              - np.asarray(img(jnp.asarray(pm)))) / (2 * EPS)
+    fd_cols = fd_img.sum(axis=(0, 2))
+
+    def col_sums(p):
+        return img(p, edge_grad=True).sum(axis=(0, 2))
+
+    jac = jax.jacrev(lambda p: col_sums(p))(jnp.asarray(base))
+    est_cols = np.asarray(jac[:, slot_rz])
+
+    rows = [{
+        "rz": RZ, "spp": SPP, "res": W,
+        "fd_total": float(fd_cols.sum()),
+        "est_total": float(est_cols.sum()),
+        "fd_cols": [round(float(v), 5) for v in fd_cols],
+        "est_cols": [round(float(v), 5) for v in est_cols],
+    }]
+    # Column-band summaries: which third of the image carries the error.
+    for name, sl in (("left", slice(0, 21)), ("mid", slice(21, 43)),
+                     ("right", slice(43, 64))):
+        rows.append({
+            "band": name,
+            "fd": float(fd_cols[sl].sum()),
+            "est": float(est_cols[sl].sum()),
+        })
+        print(json.dumps(rows[-1]))
+    print(json.dumps({"fd_total": rows[0]["fd_total"],
+                      "est_total": rows[0]["est_total"]}))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "artifacts", "rotgrad_profile_r05.jsonl")
+    with open(out, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
