@@ -172,3 +172,19 @@ def test_analytic_all_image_agreement_interpret():
     a = np.asarray(render_frame_pallas(spec, params, analytic_all=True, **kw))
     diff = np.abs(f - a).max(axis=-1)
     assert float((diff > 1e-2).mean()) < 5e-3
+
+
+def test_analytic_all_bounces0_matches_oracle():
+    """Primary-only (bounces=0) analytic bounce: hits land exactly where the
+    oracle's march converges, so the images agree outright (also guards the
+    trip-1 loop class that broke Mosaic on the fused kernel in round 4)."""
+    from compute_path_tracer_tpu.render.reference import render_frame
+
+    cs = compile_scene(benchmark_scene(8))
+    o = np.asarray(render_frame(cs.spec, cs.params, width=128, height=32,
+                                bounces=0))
+    a = np.asarray(render_frame_pallas(
+        cs.spec, cs.params, width=128, height=32, bounces=0,
+        geometry="baked", analytic_all=True, interpret=True))
+    diff = np.abs(o - a).max(axis=-1)
+    assert float((diff > 1e-2).mean()) < 1e-3
