@@ -1399,6 +1399,12 @@ def render_frame_pallas(
     if aspect is None:
         aspect = width / height
     th, tw = tile
+    if analytic_all and tile == DEFAULT_TILE:
+        # Measured optimum for the no-march bounce (round-5 tile sweep,
+        # benchmarks/artifacts/analytic_tile_sweep*_r05.jsonl): 40 rows
+        # beats the marching kernel's 64 by ~6% at 1080p (27 exact bands,
+        # zero pad waste; 8/120-row tiles measured far worse).
+        th = 40
     th = min(th, -(-height // 8) * 8) if height < th else th
     tw = min(tw, max(128, tw)) if width < tw else tw
     if accum is None:
