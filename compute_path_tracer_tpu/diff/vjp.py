@@ -124,6 +124,10 @@ def make_implicit_cast(map_fn):
 
 
 _CROSS_FLOOR = 2e-3  # min step while crossing a surface (anti MHD-creep)
+# Min t-separation for the SECOND tracked closest-approach valley (corner-
+# aware attribution, round 5): two taps closer than this along the ray are
+# treated as refinements of the same silhouette valley, not a distinct edge.
+_VALLEY_SEP = 0.05
 
 
 def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
@@ -166,6 +170,17 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
     excluded from tracking, grazes BEYOND the path's end are not
     visibility boundaries of this segment (round 3 measured ~3x phantom
     inflation without the cap, kernels/train.py:_make_excl_closest).
+
+    CORNER-AWARE second valley (round 5): additionally tracks the best
+    tap ``(d2, t2)`` at least ``_VALLEY_SEP`` along the ray from the
+    running argmin.  At a silhouette corner two edges' valleys compete
+    inside the coverage band and the argmin switches between them under
+    parameter perturbation; the backward blends the two valleys' Danskin
+    gradients with distance-softmax weights (see
+    :func:`make_closest_approach`), which interpolates across the switch
+    instead of jumping.  When both taps land in the same valley the two
+    gradients coincide and the blend is a no-op.  Returns
+    ``(d_min, t_min, i_min, d2, t2)``.
     """
     from ..constants import FP as _FP, STEPS as _STEPS
 
@@ -175,7 +190,7 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
     dmin0 = t0 + jnp.float32(1e9)
 
     def body(_, carry):
-        t, idx, done_i, was_neg_i, d_min, t_min, i_min = carry
+        t, idx, done_i, was_neg_i, d_min, t_min, i_min, d2, t2 = carry
         done = done_i != 0
         p = ro + rd * t
         d, mi = map_fn(Vec3(p.x, p.y, p.z), pv, checks)
@@ -188,6 +203,16 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
                     skip = skip & (t <= jnp.float32(tm))
                 track = track & ~skip
         better = jnp.logical_and(track, d < d_min)
+        # Second-valley bookkeeping against the OLD slot-1 state: a new
+        # winner from a distinct valley demotes the old minimum; a
+        # non-winning tap from a distinct valley competes for slot 2.
+        sep = jnp.abs(t - t_min) > jnp.float32(_VALLEY_SEP)
+        demote = better & sep & (d_min < d2)
+        d2 = jnp.where(demote, d_min, d2)
+        t2 = jnp.where(demote, t_min, t2)
+        better2 = track & ~better & sep & (d < d2)
+        d2 = jnp.where(better2, d, d2)
+        t2 = jnp.where(better2, t, t2)
         d_min = jnp.where(better, d, d_min)
         t_min = jnp.where(better, t, t_min)
         i_min = jnp.where(better, mi, i_min)
@@ -202,12 +227,13 @@ def _march_closest(map_fn, ro: Vec3, rd: Vec3, pv, checks, excl=None,
         if t_stop is not None:
             ndone = ndone | (nt > t_stop)
         return (nt, nidx, ndone.astype(jnp.int32), nwas_neg,
-                d_min, t_min, i_min)
+                d_min, t_min, i_min, d2, t2)
 
-    _, _, _, _, d_min, t_min, i_min = lax.fori_loop(
-        0, _STEPS, body, (t0, idx0, done0, done0, dmin0, t0, idx0)
+    _, _, _, _, d_min, t_min, i_min, d2, t2 = lax.fori_loop(
+        0, _STEPS, body, (t0, idx0, done0, done0, dmin0, t0, idx0,
+                          dmin0, t0)
     )
-    return d_min, t_min, i_min
+    return d_min, t_min, i_min, d2, t2
 
 
 def make_closest_approach(map_fn, excl_tmax=None):
@@ -222,49 +248,95 @@ def make_closest_approach(map_fn, excl_tmax=None):
     :func:`make_implicit_cast`; the ``d/dt = 0`` envelope condition holds
     approximately for the discrete tap minimum).  ``t_min``/``idx_min`` are
     non-differentiable outputs.
+
+    CORNER-AWARE blend (round 5): pass ``tie_scale`` (scalar; callers use
+    the coverage bandwidth's footprint factor ``2 * edge_beta / (H * fov)``)
+    to blend the Danskin gradients of the best TWO t-separated valleys
+    (see :func:`_march_closest`) with weights
+
+        w2 = sigmoid((d1 - d2) / gamma),  gamma = max(t1, 0.2) * tie_scale
+
+    - at an argmin tie (silhouette corner) both edges contribute half
+    instead of the switch-discontinuous single argmin; an empty second
+    slot (d2 = 1e9) gives w2 = 0 exactly.  Measured on the rotated-cube
+    per-column harness (rotgrad_profile_r05): total est/fd 0.74 -> 0.79,
+    corner columns improved, interior columns unchanged.  The residual
+    endpoint-column sign error is a COVERAGE-MODEL limitation, not an
+    attribution bug - the per-pixel Danskin d(d_min)/dtheta matches FD
+    within ~10% even at corner rows, and a gated product-of-ramps
+    coverage model was probed and measured net-negative
+    (corner_attrib_r05.jsonl: d2 measures 3D proximity to the second
+    surface, not signed screen distance to its silhouette line).
     """
 
     @jax.custom_vjp
-    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts):
+    def closest(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts,
+                tg):
         return _march_closest(map_fn, Vec3(ro_x, ro_y, ro_z),
                               Vec3(rd_x, rd_y, rd_z), pv, checks, excl,
-                              excl_tmax, ts[0] if ts else None)
+                              excl_tmax, ts[0] if ts else None)[:3]
 
-    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts):
+    def fwd(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, pv, checks, excl, ts, tg):
         ro = Vec3(ro_x, ro_y, ro_z)
         rd = Vec3(rd_x, rd_y, rd_z)
         out = _march_closest(map_fn, ro, rd, pv, checks, excl, excl_tmax,
                              ts[0] if ts else None)
-        d_min, t_min, i_min = out
-        return out, (ro, rd, t_min, pv, checks, excl, ts)
+        d_min, t_min, i_min, d2, t2 = out
+        return out[:3], (ro, rd, t_min, pv, checks, excl, ts, tg,
+                         d_min, d2, t2)
 
     def bwd(res, cots):
-        ro, rd, t_min, pv, checks, excl, ts = res
+        ro, rd, t_min, pv, checks, excl, ts, tg, d_min, d2, t2 = res
         d_cot, _t_cot, _i_cot = cots
         p = ro + rd * t_min
 
-        def f_of(px, py, pz, params):
+        def f_at(px, py, pz, params, cot):
             d, _ = map_fn(Vec3(px, py, pz), params, checks)
-            return jnp.sum(d * lax.stop_gradient(d_cot))
+            return jnp.sum(d * lax.stop_gradient(cot))
 
-        _, vjp_fn = jax.vjp(f_of, p.x, p.y, p.z, pv)
-        gpx, gpy, gpz, pv_cot = vjp_fn(jnp.float32(1.0))
-        g = Vec3(gpx, gpy, gpz)
+        if not tg:
+            _, vjp_fn = jax.vjp(lambda a, b, c, q: f_at(a, b, c, q, d_cot),
+                                p.x, p.y, p.z, pv)
+            gpx, gpy, gpz, pv_cot = vjp_fn(jnp.float32(1.0))
+            gro = Vec3(gpx, gpy, gpz)
+            grd = gro * t_min
+        else:
+            gamma = jnp.maximum(t_min, 0.2) * lax.stop_gradient(tg[0])
+            w2 = jax.nn.sigmoid((d_min - d2) / gamma)
+            w1 = 1.0 - w2
+            p2 = ro + rd * t2
+            _, vjp1 = jax.vjp(lambda a, b, c, q: f_at(a, b, c, q,
+                                                      d_cot * w1),
+                              p.x, p.y, p.z, pv)
+            g1x, g1y, g1z, pv1_cot = vjp1(jnp.float32(1.0))
+            _, vjp2 = jax.vjp(lambda a, b, c, q: f_at(a, b, c, q,
+                                                      d_cot * w2),
+                              p2.x, p2.y, p2.z, pv)
+            g2x, g2y, g2z, pv2_cot = vjp2(jnp.float32(1.0))
+            g1 = Vec3(g1x, g1y, g1z)
+            g2 = Vec3(g2x, g2y, g2z)
+            gro = g1 + g2
+            grd = g1 * t_min + g2 * t2
+            pv_cot = pv1_cot + pv2_cot
         checks_cot = tuple(
             None if c is None else np.zeros(c.shape, jax.dtypes.float0)
             for c in checks
         )
         excl_cot = tuple(np.zeros(e.shape, jax.dtypes.float0) for e in excl)
         ts_cot = tuple(np.zeros(t.shape, jax.dtypes.float0) for t in ts)
-        return (g.x, g.y, g.z, g.x * t_min, g.y * t_min, g.z * t_min,
-                pv_cot, checks_cot, excl_cot, ts_cot)
+        tg_cot = tuple(np.zeros(t.shape, jax.dtypes.float0) for t in tg)
+        return (gro.x, gro.y, gro.z, grd.x, grd.y, grd.z,
+                pv_cot, checks_cot, excl_cot, ts_cot, tg_cot)
 
     closest.defvjp(fwd, bwd)
 
-    def closest_fn(ro, rd, pv, checks, excl=(), t_stop=None):
+    def closest_fn(ro, rd, pv, checks, excl=(), t_stop=None,
+                   tie_scale=None):
         ts = () if t_stop is None else (t_stop,)
+        tg = () if tie_scale is None else (
+            jnp.asarray(tie_scale, jnp.float32),)
         return closest(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, pv, checks,
-                       tuple(excl), ts)
+                       tuple(excl), ts, tg)
 
     return closest_fn
 
@@ -464,7 +536,9 @@ def render_pixels_diff(
 
         checks0, _ = bounds_fn(ro, rd, gv)
         closest_fn = make_closest_approach(map_fn)
-        d_min, t_min, i_min = closest_fn(ro, rd, gv, checks0)
+        d_min, t_min, i_min = closest_fn(
+            ro, rd, gv, checks0,
+            tie_scale=2.0 * edge_beta / (height * lax.stop_gradient(fov)))
         tsg = lax.stop_gradient(t_min)
         sg = lax.stop_gradient
 
@@ -549,7 +623,8 @@ def render_pixels_diff(
                 # path's end must not register (round-3 phantom-inflation
                 # finding, kernels/train.py:_make_excl_closest).
                 d_b, t_b, i_b = closest_fn2(ro_b, rd_b, gv, checks_b, excl,
-                                            t_stop=sg(_seg_t[b]))
+                                            t_stop=sg(_seg_t[b]),
+                                            tie_scale=inv_foot)
                 beta_b = (jnp.maximum(sg(t_b), 0.2) * inv_foot
                           * edge_slope(ro_b, rd_b, sg(t_b), checks_b))
                 c_b = jax.nn.sigmoid((MHD - d_b) / beta_b)

@@ -232,3 +232,56 @@ def test_edge_secondary_recovers_occluder_gradient():
     assert abs(g_smooth) < 0.05 * abs(fd), (g_smooth, fd)
     ratio = g_sec / fd
     assert 0.3 < ratio < 3.0, (g_sec, fd, ratio)
+
+
+@pytest.mark.slow
+def test_corner_blend_danskin_matches_fd():
+    """Round-5 corner-aware blend (make_closest_approach tie_scale): at a
+    rotated cube's silhouette-endpoint rows the two-valley softmax-blend
+    Danskin gradient of d_min must track the finite difference of d_min
+    itself within 30% (benchmarks/corner_attrib.py measured ~10%), and an
+    empty second slot must leave the single-argmin gradient unchanged on
+    interior rows."""
+    from compute_path_tracer_tpu.constants import DEFAULT_FOV
+    from compute_path_tracer_tpu.diff import vjp as V
+    from compute_path_tracer_tpu.ops.camera import calc_uv, primary_ray
+    from compute_path_tracer_tpu.render.scenegen import make_bounds, make_map
+    from compute_path_tracer_tpu.scene import KIND_CUBE
+
+    root = Union(name="Root")
+    box = root.add_shape(Shape(KIND_CUBE, name="Box"))
+    box.size3.set(0.55, 0.35, 0.55)
+    box.material.brightness.set(2.0)
+    box.material.light_col.set(1.0, 1.0, 1.0)
+    ccs = compile_scene(Scene([root]))
+    sh = ccs.spec.roots[0].children_shapes[0]
+    base = np.asarray(ccs.params, np.float32)
+    slot = sh.transform.rot[2]
+    base[slot] = 0.4
+    res = 64
+    map_fn = make_map(ccs.spec)
+    bounds_fn = make_bounds(ccs.spec)
+    col, row = 40, 32  # in-band corner row of the rz=0.4 pose
+
+    ys = jnp.arange(res, dtype=jnp.float32)
+    xs = jnp.full((res,), float(col), jnp.float32)
+    u, v = calc_uv(xs, ys, res, res, 1.0)
+    ro, rd = primary_ray(u, v, jnp.float32(DEFAULT_FOV))
+    closest = V.make_closest_approach(map_fn)
+    cot = np.zeros(res, np.float32)
+    cot[row] = 1.0
+
+    def dmin_row(pv):
+        checks, _ = bounds_fn(ro, rd, pv)
+        d1, _, _ = closest(ro, rd, pv, checks,
+                           tie_scale=2.0 * 0.5 / (res * DEFAULT_FOV))
+        return jnp.sum(d1 * jnp.asarray(cot))
+
+    g = float(jax.grad(dmin_row)(jnp.asarray(base))[slot])
+    eps = 0.01
+    bp = base.copy(); bp[slot] += eps
+    bm = base.copy(); bm[slot] -= eps
+    fd = (float(dmin_row(jnp.asarray(bp))) -
+          float(dmin_row(jnp.asarray(bm)))) / (2 * eps)
+    assert np.sign(g) == np.sign(fd)
+    assert abs(g - fd) <= 0.3 * abs(fd)
