@@ -272,6 +272,54 @@ def bench_forward_analytic_all(cs):
     }
 
 
+def bench_forward_soa(n_prims=256):
+    """Scaling-path forward row (round 5): the Pallas SoA analytic kernel
+    (kernels/megakernel.py ``analytic_soa``: in-kernel fori_loop over
+    packed SMEM shape tables, render/soa.py:build_soa_smem_layout) at a
+    prim count the trace-unrolled kernels cannot reach (256-prim faithful
+    compile took tens of minutes and the 256-prim fused kernel failed to
+    Mosaic-compile, prim_scaling_r05.jsonl).  Compile time bounded in n
+    (prim_scaling_soa_r05.jsonl); bit-exact with analytic_all where both
+    compile (tests/test_soa.py)."""
+    import jax
+    import numpy as np
+
+    from compute_path_tracer_tpu.kernels import render_frame_pallas
+    from compute_path_tracer_tpu.scene.compile import compile_scene
+    from compute_path_tracer_tpu.scene.library import benchmark_scene
+
+    cs = compile_scene(benchmark_scene(n_prims))
+
+    def run(n_frames, frame0):
+        for f in range(n_frames):
+            out = render_frame_pallas(cs.spec, cs.params, frame=frame0 + f,
+                                      last_clear=frame0 + f, width=WIDTH,
+                                      height=HEIGHT, bounces=BOUNCES,
+                                      geometry="baked", analytic_soa=True)
+        np.asarray(out[:2, :2]).sum()  # force remote materialization
+        return out
+
+    t0 = time.perf_counter()
+    run(WARMUP_FRAMES, 0)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(TIMED_FRAMES, WARMUP_FRAMES)
+    dt = time.perf_counter() - t0
+    value = WIDTH * HEIGHT * (BOUNCES + 1) * TIMED_FRAMES / dt
+    return {
+        "metric": f"fwd path-trace rays/s/chip @ {WIDTH}x{HEIGHT}, "
+        f"{n_prims}-prim CSG, {BOUNCES} bounces, SoA scaling path "
+        "(in-kernel shape loop; compile bounded in prim count)",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1e9,
+        "backend": "pallas-soa",
+        "compile_s": round(compile_s, 1),
+        "frame_ms": dt / TIMED_FRAMES * 1e3,
+        "device": str(jax.devices()[0]),
+    }
+
+
 def bench_fused(cs, analytic=False, edge=False, secondary=False,
                 analytic_all=False):
     """The fused train step (kernels/train.py): forward render + per-pixel
@@ -416,6 +464,15 @@ def _main_locked(jnp, compile_scene, benchmark_scene):
     except Exception as e:
         print(json.dumps({
             "metric": "fwd+bwd train-step, fused + analytic_all + edge",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }), flush=True)
+    # Round-5 scaling path: SoA analytic forward at 256 prims (a count
+    # the unrolled kernels cannot compile).
+    try:
+        print(json.dumps(bench_forward_soa(256)), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "fwd path-trace rays/s/chip, SoA scaling path",
             "error": f"{type(e).__name__}: {e}"[:300],
         }), flush=True)
     print(json.dumps(bench_forward(_CS)), flush=True)

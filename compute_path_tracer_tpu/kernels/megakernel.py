@@ -201,11 +201,18 @@ def _leaf_analytic_t(bs, ro, rd, bv):
     octahedron: the same slab test over its 4 diagonal half-space pairs
     (|x|+|y|+|z| <= s is the intersection of |(+-1,+-1,+-1) . q| <= s).
     """
+    return _leaf_analytic_t_slots(bs.kind, lambda i: bv[bs.off + i], ro, rd)
+
+
+def _leaf_analytic_t_slots(kind, bv, ro, rd):
+    """Slot-accessor form of :func:`_leaf_analytic_t`: ``bv`` is a callable
+    ``slot_index -> scalar`` - static-offset reads for the trace-unrolled
+    paths, dynamic SMEM reads for the SoA kernel (analytic_soa)."""
     from ..scene.model import KIND_CUBE, KIND_OCTAHEDRON, KIND_PLANE
 
-    o = bs.off
-    if bs.kind in (KIND_CUBE, KIND_OCTAHEDRON):
-        M, c, b = _cube_rows_of(bs, bv)
+    if kind in (KIND_CUBE, KIND_OCTAHEDRON):
+        M = tuple(bv(i) for i in range(9))
+        c = (bv(9), bv(10), bv(11))
 
         def row(r, v, add):
             return (M[3 * r] * v.x + M[3 * r + 1] * v.y + M[3 * r + 2] * v.z
@@ -213,26 +220,25 @@ def _leaf_analytic_t(bs, ro, rd, bv):
 
         oq = tuple(row(r, ro, c) for r in range(3))
         dq = tuple(row(r, rd, None) for r in range(3))
-        if bs.kind == KIND_CUBE:
-            return _slab_polytope_t(oq, dq, b)
-        s = bv[o + 12]
+        if kind == KIND_CUBE:
+            return _slab_polytope_t(oq, dq, (bv(12), bv(13), bv(14)))
+        s = bv(12)
         oqs = tuple(ax[0] * oq[0] + ax[1] * oq[1] + ax[2] * oq[2]
                     for ax in _OCT_AXES)
         dqs = tuple(ax[0] * dq[0] + ax[1] * dq[1] + ax[2] * dq[2]
                     for ax in _OCT_AXES)
         return _slab_polytope_t(oqs, dqs, (s,) * 4)
-    if bs.kind == KIND_PLANE:
-        denom = bv[o] * rd.x + bv[o + 1] * rd.y + bv[o + 2] * rd.z
-        f0 = (bv[o] * ro.x + bv[o + 1] * ro.y + bv[o + 2] * ro.z
-              + bv[o + 3])
+    if kind == KIND_PLANE:
+        denom = bv(0) * rd.x + bv(1) * rd.y + bv(2) * rd.z
+        f0 = bv(0) * ro.x + bv(1) * ro.y + bv(2) * ro.z + bv(3)
         ok = jnp.abs(denom) > 1e-12
         t = jnp.where(ok, -f0 / jnp.where(ok, denom, 1.0), _BIG)
         return jnp.where(t > 0.0, t, _BIG)
     # sphere
-    ocx = ro.x - bv[o]
-    ocy = ro.y - bv[o + 1]
-    ocz = ro.z - bv[o + 2]
-    r = bv[o + 3]
+    ocx = ro.x - bv(0)
+    ocy = ro.y - bv(1)
+    ocz = ro.z - bv(2)
+    r = bv(3)
     b = ocx * rd.x + ocy * rd.y + ocz * rd.z
     c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
     disc = b * b - c  # |rd| == 1
@@ -246,17 +252,23 @@ def _leaf_analytic_t(bs, ro, rd, bv):
 
 def _leaf_analytic_normal(bs, p, bv):
     """Exact surface normal of one baked leaf at (near-)surface point p."""
+    return _leaf_analytic_normal_slots(bs.kind, lambda i: bv[bs.off + i], p)
+
+
+def _leaf_analytic_normal_slots(kind, bv, p):
+    """Slot-accessor form of :func:`_leaf_analytic_normal` (see
+    :func:`_leaf_analytic_t_slots`)."""
     from ..scene.model import KIND_CUBE, KIND_OCTAHEDRON, KIND_PLANE
 
-    o = bs.off
     zero = jnp.zeros_like(p.x)
-    if bs.kind == KIND_OCTAHEDRON:
-        M, c, _b = _cube_rows_of(bs, bv)
+    if kind == KIND_OCTAHEDRON:
+        M = tuple(bv(i) for i in range(9))
+        c = (bv(9), bv(10), bv(11))
         q = tuple(
             M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
             + c[r] for r in range(3)
         )
-        s = bv[o + 12]
+        s = bv(12)
         vals = tuple(ax[0] * q[0] + ax[1] * q[1] + ax[2] * q[2]
                      for ax in _OCT_AXES)
         # Hit face = diagonal slab whose |value| reaches s; leaf normal is
@@ -274,8 +286,10 @@ def _leaf_analytic_normal(bs, p, bv):
             M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
             M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
         ).normalize_safe()
-    if bs.kind == KIND_CUBE:
-        M, c, b = _cube_rows_of(bs, bv)
+    if kind == KIND_CUBE:
+        M = tuple(bv(i) for i in range(9))
+        c = (bv(9), bv(10), bv(11))
+        b = (bv(12), bv(13), bv(14))
         q = tuple(
             M[3 * r] * p.x + M[3 * r + 1] * p.y + M[3 * r + 2] * p.z
             + c[r] for r in range(3)
@@ -296,10 +310,10 @@ def _leaf_analytic_normal(bs, p, bv):
             M[1] * nl[0] + M[4] * nl[1] + M[7] * nl[2],
             M[2] * nl[0] + M[5] * nl[1] + M[8] * nl[2],
         ).normalize_safe()
-    if bs.kind == KIND_PLANE:
-        return Vec3(zero + bv[o], zero + bv[o + 1], zero + bv[o + 2])
-    return Vec3(p.x - bv[o], p.y - bv[o + 1],
-                p.z - bv[o + 2]).normalize_safe()
+    if kind == KIND_PLANE:
+        return Vec3(zero + bv(0), zero + bv(1), zero + bv(2))
+    return Vec3(p.x - bv(0), p.y - bv(1),
+                p.z - bv(2)).normalize_safe()
 
 
 def _make_analytic_unboxed(spec: SceneSpec):
@@ -459,6 +473,153 @@ def _make_analytic_all(spec: SceneSpec):
         return n
 
     return isect_fn, normal_fn
+
+
+def _make_soa_analytic(layout):
+    """In-kernel SoA full-analytic fold (round 5): ``lax.fori_loop`` over
+    the packed SMEM shape tables (render/soa.py:build_soa_smem_layout)
+    instead of trace-time per-shape unrolling - O(1) trace and Mosaic
+    compile regardless of prim count, the scaling fix for the
+    superlinear-compile limit measured in prim_scaling_r05.jsonl (256-prim
+    faithful forward: tens of minutes; 512: never finished).
+
+    Semantics are _make_analytic_all's exactly: per-shape membership =
+    own AABB ``check[]`` (aabb.glsl:21-33) AND no clobbering ancestor
+    first-shape guard passes (containers.rs:244-252); equal-t ties pick
+    the earlier shape in walk order (within a kind the fold keeps the
+    first winner; across kinds a lexicographic (t, shape_id) combine).
+    Returns ``(isect_fn, normal_fn, gather_mat_fn)`` each taking the SoA
+    SMEM refs explicitly.
+    """
+    _SID_NONE = jnp.int32(2 ** 30)
+
+    def _slab_box(ro, rd, box):
+        """Per-lane AABB slab hit from 6 scalars (lo3, hi3); semantics of
+        ops/aabb.py:intersect_aabb + aabb_hit."""
+        tn = jnp.full_like(ro.x, -jnp.inf)
+        tf = jnp.full_like(ro.x, jnp.inf)
+        for lo_s, hi_s, o, d in ((box[0], box[3], ro.x, rd.x),
+                                 (box[1], box[4], ro.y, rd.y),
+                                 (box[2], box[5], ro.z, rd.z)):
+            ta = (lo_s - o) / d
+            tb = (hi_s - o) / d
+            tn = jnp.maximum(tn, jnp.minimum(ta, tb))
+            tf = jnp.minimum(tf, jnp.maximum(ta, tb))
+        return (tn < tf) & (tf > 0.0)
+
+    U = layout.unroll
+
+    def isect_fn(ro, rd, f_ref, i_ref):
+        t_best = jnp.full(ro.x.shape, _BIG, jnp.float32)
+        sid_best = jnp.full(ro.x.shape, _SID_NONE, jnp.int32)
+        for kd in layout.kinds:
+            # U shapes per trip (static inner unroll): the loop-carried
+            # min fold otherwise serializes the per-shape ALU chains that
+            # the fully unrolled kernel lets Mosaic interleave.
+            def body(c, carry, kd=kd):
+                # Membership slabs for the trip's U shapes first: their OR
+                # drives a tile-uniform skip of the intersection math (the
+                # SoA analog of the unrolled kernel's per-shape anyhit
+                # lax.conds, which the round-5 breakdown measured
+                # net-positive).
+                incls = []
+                for j in range(U):
+                    s = c * U + j
+                    guard = i_ref[kd.i_guard + s]
+                    ab = kd.f_aabb + s * 6
+                    own = _slab_box(ro, rd,
+                                    [f_ref[ab + k] for k in range(6)])
+                    # own | unguarded - NOT a where(): Mosaic cannot
+                    # legalize arith.select on i1 vectors.
+                    incl = own | (guard == 0)
+                    for a_ in range(kd.a):
+                        av = i_ref[kd.i_anc_valid + s * kd.a + a_]
+                        ob = kd.f_anc + (s * kd.a + a_) * 6
+                        ah = _slab_box(ro, rd,
+                                       [f_ref[ob + k] for k in range(6)])
+                        incl = incl & ~((av != 0) & ah)
+                    incls.append(incl)
+                pred = jnp.int32(0)
+                for incl in incls:
+                    pred = jnp.maximum(pred, jnp.max(incl.astype(jnp.int32)))
+
+                def hot(cr, c=c, kd=kd, incls=incls):
+                    t_min, sid_min = cr
+                    for j in range(U):
+                        s = c * U + j
+                        gbase = kd.f_geom + s * kd.w
+                        t = _leaf_analytic_t_slots(
+                            kd.kind, lambda i, b=gbase: f_ref[b + i],
+                            ro, rd)
+                        t = jnp.where(incls[j], t, _BIG)
+                        sid = i_ref[kd.i_sid + s]
+                        better = t < t_min
+                        t_min = jnp.where(better, t, t_min)
+                        sid_min = jnp.where(better, sid, sid_min)
+                    return (t_min, sid_min)
+
+                return lax.cond(pred > 0, hot, lambda cr: cr, carry)
+
+            t_k, s_k = lax.fori_loop(
+                0, kd.n_pad // U, body,
+                (jnp.full(ro.x.shape, _BIG, jnp.float32),
+                 jnp.full(ro.x.shape, _SID_NONE, jnp.int32)))
+            better = (t_k < t_best) | ((t_k == t_best) & (s_k < sid_best))
+            t_best = jnp.where(better, t_k, t_best)
+            sid_best = jnp.where(better, s_k, sid_best)
+        idx = jnp.where(sid_best == _SID_NONE, -1, sid_best)
+        return t_best, idx
+
+    def normal_fn(p, idx, f_ref, i_ref):
+        zero = jnp.zeros_like(p.x)
+        nx, ny, nz = zero, zero, zero
+        for kd in layout.kinds:
+            def body(c, carry, kd=kd):
+                cx, cy, cz = carry
+                for j in range(U):
+                    s = c * U + j
+                    gbase = kd.f_geom + s * kd.w
+                    cand = _leaf_analytic_normal_slots(
+                        kd.kind, lambda i, b=gbase: f_ref[b + i], p)
+                    take = idx == i_ref[kd.i_sid + s]
+                    cx = jnp.where(take, cand.x, cx)
+                    cy = jnp.where(take, cand.y, cy)
+                    cz = jnp.where(take, cand.z, cz)
+                return (cx, cy, cz)
+
+            nx, ny, nz = lax.fori_loop(0, kd.n_pad // U, body,
+                                       (nx, ny, nz))
+        return Vec3(nx, ny, nz)
+
+    def gather_mat_fn(idx, f_ref):
+        c_n = 18
+
+        def body(c, acc):
+            for j in range(U):
+                s = c * U + j
+                base = layout.f_mat + s * c_n
+                take = idx == s
+                acc = tuple(jnp.where(take, f_ref[base + ch], a)
+                            for ch, a in enumerate(acc))
+            return acc
+
+        zero = jnp.zeros(idx.shape, jnp.float32)
+        acc = lax.fori_loop(0, layout.n_shapes_pad // U, body,
+                            (zero,) * c_n)
+        return Mat(
+            col=Vec3(acc[0], acc[1], acc[2]),
+            brightness=acc[3],
+            light=Vec3(acc[4], acc[5], acc[6]),
+            spec=acc[7],
+            spec_col=Vec3(acc[8], acc[9], acc[10]),
+            roughness=acc[11],
+            ior=acc[12],
+            refract_chance=acc[13],
+            refract_roughness=acc[14],
+            refract_col=Vec3(acc[15], acc[16], acc[17]),
+        )
+
+    return isect_fn, normal_fn, gather_mat_fn
 
 
 def _march_while_tcull(map_d_culled, ro, rd, pv, checks, ivals, alive=None,
@@ -1040,7 +1201,8 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                  t_cull: bool = False, omega: float = 1.0,
                  analytic_unboxed: bool = False, refresh_every: int = 1,
                  dist_grid: bool = False, grid_res=GRID_DEFAULT_RES,
-                 grid_tau: float = GRID_TAU, analytic_all: bool = False):
+                 grid_tau: float = GRID_TAU, analytic_all: bool = False,
+                 analytic_soa: bool = False):
     """Kernel body: one VMEM tile.
 
     ``geometry="baked"`` reads leaf-baked affine coefficients (a second SMEM
@@ -1054,6 +1216,22 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     """
     baked = geometry == "baked"
     analytic_full = None
+    soa_layout = None
+    if analytic_soa:
+        if not baked:
+            raise ValueError("analytic_soa requires geometry='baked'")
+        if analytic_all or analytic_unboxed or dist_grid:
+            raise ValueError("analytic_soa is its own full-analytic mode; "
+                             "enable only one")
+        if debug not in (0, 3):
+            raise ValueError(
+                "analytic_soa supports the path-traced modes (debug 0/3)")
+        from ..render.soa import build_soa_smem_layout
+
+        soa_layout = build_soa_smem_layout(spec)
+        if soa_layout is None:
+            raise ValueError("analytic_soa requires a union-only tree")
+        t_cull = False
     if analytic_all:
         if not baked:
             raise ValueError("analytic_all requires geometry='baked'")
@@ -1107,6 +1285,16 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         map_culled = make_map_culled(spec)
         map_d_culled = make_map_culled_d(spec)
         bounds_fn = make_bounds(spec, with_t=t_cull)
+    if analytic_soa:
+        # No march, no final-id re-tap, no central-diff normals: the
+        # per-shape-unrolled map/bounds closures would trace O(n_shapes)
+        # for nothing.  The SoA path computes membership inside its own
+        # fori_loop fold (_make_soa_analytic).
+        map_culled = map_d_culled = None
+
+        def bounds_fn(ro, rd, pv):  # noqa: F811 - O(1) stub
+            return (), jnp.zeros_like(ro.x)
+
     if normals == "autodiff":
         # Mosaic cannot yet compile the transpose of the anyhit lax.cond
         # skips, so the (~2-tap) AD normal differentiates the PLAIN per-lane
@@ -1124,9 +1312,11 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
     grid_tap_fn = make_grid_tap(spec, grid_res) if dist_grid else None
 
     def kernel(iparams_ref, fparams_ref, params_ref, *rest):
-        gmeta_ref = gchunks_ref = None
+        gmeta_ref = gchunks_ref = soa_f_ref = soa_i_ref = None
         if dist_grid:
             gv_ref, gmeta_ref, gchunks_ref, accum_ref, out_ref = rest
+        elif analytic_soa:
+            gv_ref, soa_f_ref, soa_i_ref, accum_ref, out_ref = rest
         elif baked:
             gv_ref, accum_ref, out_ref = rest
         else:
@@ -1145,7 +1335,19 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         # render (parallel/mesh.py).
         y0 = pl.program_id(0) * tile_h + iparams_ref[3]
         x0 = pl.program_id(1) * tile_w
-        gather_mat = _make_smem_gather_mat(spec, params_ref)
+        analytic_full_k = analytic_full
+        if analytic_soa:
+            isect_soa, normal_soa, gather_soa = _make_soa_analytic(
+                soa_layout)
+            gather_mat = lambda idx: gather_soa(idx, soa_f_ref)  # noqa: E731
+            analytic_full_k = (
+                lambda ro_, rd_, pv_, checks_, anyhit_: isect_soa(
+                    ro_, rd_, soa_f_ref, soa_i_ref),
+                lambda p_, idx_, pv_, anyhit_: normal_soa(
+                    p_, idx_, soa_f_ref, soa_i_ref),
+            )
+        else:
+            gather_mat = _make_smem_gather_mat(spec, params_ref)
 
         grid_tap = None
         if dist_grid:
@@ -1179,7 +1381,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
                 normal_fn=normal_fn, t_cull=t_cull, omega=omega,
                 analytic=analytic, refresh_every=refresh_every,
                 grid_tap=grid_tap, grid_tau=grid_tau,
-                analytic_full=analytic_full,
+                analytic_full=analytic_full_k,
             )
             if debug == 3:
                 col = Vec3.splat(
@@ -1262,7 +1464,7 @@ def _make_kernel(spec: SceneSpec, width: int, height: int, debug: int,
         "spec", "width", "height", "debug", "tile_h", "tile_w",
         "geometry", "normals", "t_cull", "omega", "analytic_unboxed",
         "refresh_every", "dist_grid", "grid_res", "grid_tau",
-        "analytic_all", "interpret",
+        "analytic_all", "analytic_soa", "interpret",
     ),
 )
 def _pallas_frame_planes(
@@ -1291,6 +1493,7 @@ def _pallas_frame_planes(
     grid_res=GRID_DEFAULT_RES,
     grid_tau: float = GRID_TAU,
     analytic_all: bool = False,
+    analytic_soa: bool = False,
     interpret: bool = False,
 ):
     ph, pw = accum_planes.shape[1], accum_planes.shape[2]
@@ -1310,7 +1513,7 @@ def _pallas_frame_planes(
     kernel = _make_kernel(spec, width, height, debug, tile_h, tile_w,
                           geometry, normals, t_cull, omega, analytic_unboxed,
                           refresh_every, dist_grid, grid_res, grid_tau,
-                          analytic_all)
+                          analytic_all, analytic_soa)
     tile_spec = pl.BlockSpec(
         (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
@@ -1329,6 +1532,15 @@ def _pallas_frame_planes(
             in_specs.append(smem)
             inputs.append(gchunks)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if analytic_soa:
+            from ..render.soa import build_soa_smem_layout, pack_soa_smem
+
+            soa_f, soa_i = pack_soa_smem(
+                build_soa_smem_layout(spec), bv, params)
+            inputs.append(soa_f)
+            in_specs.append(smem)
+            inputs.append(soa_i)
+            in_specs.append(smem)
     inputs.append(accum_planes)
     in_specs.append(tile_spec)
     return pl.pallas_call(
@@ -1375,6 +1587,7 @@ def render_frame_pallas(
     grid_res=GRID_DEFAULT_RES,
     grid_tau: float = GRID_TAU,
     analytic_all: bool = False,
+    analytic_soa: bool = False,
     interpret: bool = False,
 ):
     """Drop-in replacement for render/reference.py:render_frame running the
@@ -1395,11 +1608,21 @@ def render_frame_pallas(
     exact map.  Hits keep exact-map semantics; the tap sequence (and so
     sub-MHD landings and budget-exit accounting) shifts at eps level.
     Composes with ``analytic_unboxed``.
+
+    ``analytic_soa=True`` (baked, union-only): the SCALING form of
+    ``analytic_all`` - same full-analytic bounce (bit-exact with it,
+    tests/test_soa.py), but the per-shape work runs as an in-kernel
+    ``fori_loop`` over packed SMEM tables
+    (render/soa.py:build_soa_smem_layout) instead of trace-time
+    unrolling, so trace + Mosaic compile time is bounded in the prim
+    count (prim_scaling_soa_r05.jsonl: 256/512-prim 1080p frames on
+    silicon where the unrolled kernels never finished compiling; at
+    <= 128 prims the unrolled ``analytic_all`` remains faster).
     """
     if aspect is None:
         aspect = width / height
     th, tw = tile
-    if analytic_all and tile == DEFAULT_TILE:
+    if (analytic_all or analytic_soa) and tile == DEFAULT_TILE:
         # Measured optimum for the no-march bounce (round-5 tile sweep,
         # benchmarks/artifacts/analytic_tile_sweep*_r05.jsonl): 40 rows
         # beats the marching kernel's 64 by ~6% at 1080p (27 exact bands,
@@ -1434,6 +1657,7 @@ def render_frame_pallas(
         grid_res=tuple(grid_res),
         grid_tau=grid_tau,
         analytic_all=analytic_all,
+        analytic_soa=analytic_soa,
         interpret=interpret,
     )
     return jnp.transpose(out[:, :height, :width], (1, 2, 0))

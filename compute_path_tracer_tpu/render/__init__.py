@@ -13,6 +13,7 @@ from .reference import (
 )
 from .scenegen import apply_transform, make_bounds, make_map, material_slot_matrix
 from .session import RenderSession
+from .soa import build_soa_plan, render_frame_soa, render_pixels_soa
 
 __all__ = [
     "RenderSession",
@@ -29,4 +30,7 @@ __all__ = [
     "make_bounds",
     "make_map",
     "material_slot_matrix",
+    "build_soa_plan",
+    "render_frame_soa",
+    "render_pixels_soa",
 ]

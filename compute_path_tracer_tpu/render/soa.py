@@ -404,3 +404,152 @@ def render_frame_soa(spec: SceneSpec, params, *, width: int, height: int,
                             jnp.float32(fov), jnp.float32(aspect),
                             width=width, height=height, chunk=chunk)
     return jnp.stack([col.x, col.y, col.z], axis=-1)
+
+
+# -- SMEM packing for the Pallas SoA kernel -----------------------------------
+#
+# The XLA SoA path above bounds compile time but pays HBM traffic for every
+# (chunk, lanes) intermediate; the Pallas analytic_soa kernel
+# (kernels/megakernel.py) instead walks the same packed tables with
+# lax.fori_loop over shapes, all state resident in VMEM/SMEM - unrolled-
+# kernel runtime at O(1) trace/compile cost.  The layout below flattens the
+# per-kind tables into ONE f32 SMEM vector (geometry slots, AABB boxes,
+# ancestor-guard boxes, material values) and ONE i32 SMEM vector (shape
+# ids, guard flags, ancestor-valid flags), with static per-kind offsets.
+
+
+@dataclass(frozen=True)
+class SmemKind:
+    kind: int
+    n: int
+    n_pad: int      # n rounded up to the kernel's unroll factor
+    w: int          # geometry slots per shape
+    a: int          # padded ancestor-guard count
+    f_geom: int     # f32 offsets
+    f_aabb: int
+    f_anc: int
+    i_sid: int      # i32 offsets
+    i_guard: int
+    i_anc_valid: int
+
+
+@dataclass(frozen=True)
+class SoaSmemLayout:
+    kinds: Tuple[SmemKind, ...]
+    f_len: int
+    i_len: int
+    f_mat: int      # f32 offset of the (n_shapes_pad, 18) material values
+    n_shapes: int
+    n_shapes_pad: int
+    unroll: int     # static inner-unroll factor of the kernel's fori_loops
+    # packing recipes (static):
+    bv_gather: np.ndarray    # (f_mat,) int32 indices into bv (0 on pad)
+    bv_mask: np.ndarray      # (f_mat,) float32 1.0 on real entries
+    mat_slots: np.ndarray    # (n_shapes, 18) int32 indices into params
+    i_const: np.ndarray      # (i_len,) int32 constant vector
+
+
+def build_soa_smem_layout(spec: SceneSpec,
+                          unroll: int = 8) -> Optional[SoaSmemLayout]:
+    """Static SMEM layout for the Pallas analytic_soa kernel; ``None`` when
+    the scene is not union-only (same eligibility as analytic_all).
+
+    ``unroll`` statically unrolls that many shapes per fori_loop trip in
+    the kernel (kernels/megakernel.py:_make_soa_analytic): the loop-carried
+    min fold otherwise serializes the per-shape ALU chains that the fully
+    unrolled kernel lets Mosaic interleave.  Kinds and the material table
+    are padded to a multiple; pad rows carry guard=1 with a degenerate
+    (never-hit) AABB, so membership excludes them by construction."""
+    plan = analytic_all_plan(spec)
+    if plan is None:
+        return None
+    aabb_off_of = {bs.shape_id: bs.aabb_off for bs, _ in plan if bs.aabb}
+    max_anc = max((len(c) for _, c in plan), default=0)
+    by_kind = {}
+    for bs, clob in plan:
+        by_kind.setdefault(bs.kind, []).append((bs, clob))
+
+    kinds = []
+    f_idx: list = []
+    f_msk: list = []
+    i_val: list = []
+
+    def f_push(indices):
+        off = len(f_idx)
+        f_idx.extend(int(i) for i in indices)
+        f_msk.extend([1.0] * len(indices))
+        return off
+
+    def f_pad(count):
+        off = len(f_idx)
+        f_idx.extend([0] * count)
+        f_msk.extend([0.0] * count)
+        return off
+
+    for kind, rows in sorted(by_kind.items()):
+        w = _GEOM_W[kind]
+        n = len(rows)
+        n_pad = -(-n // unroll) * unroll
+        pad = n_pad - n
+        a = max_anc
+        f_geom = len(f_idx)
+        for bs, _ in rows:
+            f_push(range(bs.off, bs.off + w))
+        f_pad(pad * w)
+        f_aabb = len(f_idx)
+        for bs, _ in rows:
+            if bs.aabb:
+                f_push(range(bs.aabb_off, bs.aabb_off + 6))
+            else:
+                f_pad(6)
+        f_pad(pad * 6)  # degenerate lo=hi=0 boxes: slab never hits
+        f_anc = len(f_idx)
+        for bs, clob in rows:
+            for j in range(a):
+                if j < len(clob):
+                    o = aabb_off_of[clob[j]]
+                    f_push(range(o, o + 6))
+                else:
+                    f_pad(6)
+        f_pad(pad * a * 6)
+        i_sid = len(i_val)
+        i_val.extend(int(bs.shape_id) for bs, _ in rows)
+        i_val.extend([-2] * pad)  # matches no lane (idx is -1 or >= 0)
+        i_guard = len(i_val)
+        i_val.extend(1 if bs.aabb else 0 for bs, _ in rows)
+        i_val.extend([1] * pad)  # guarded + degenerate box = excluded
+        i_anc_valid = len(i_val)
+        for bs, clob in rows:
+            i_val.extend([1] * len(clob) + [0] * (a - len(clob)))
+        i_val.extend([0] * (pad * a))
+        kinds.append(SmemKind(kind, n, n_pad, w, a, f_geom, f_aabb, f_anc,
+                              i_sid, i_guard, i_anc_valid))
+
+    f_mat = len(f_idx)
+    slots = material_slot_matrix(spec)
+    n_sh_pad = -(-spec.n_shapes // unroll) * unroll
+    slots_pad = np.zeros((n_sh_pad, slots.shape[1]), np.int32)
+    slots_pad[: spec.n_shapes] = slots
+    return SoaSmemLayout(
+        kinds=tuple(kinds),
+        f_len=f_mat + n_sh_pad * slots.shape[1],
+        i_len=len(i_val),
+        f_mat=f_mat,
+        n_shapes=spec.n_shapes,
+        n_shapes_pad=n_sh_pad,
+        unroll=unroll,
+        bv_gather=np.asarray(f_idx, np.int32),
+        bv_mask=np.asarray(f_msk, np.float32),
+        mat_slots=slots_pad,
+        i_const=np.asarray(i_val, np.int32),
+    )
+
+
+def pack_soa_smem(layout: SoaSmemLayout, bv, params):
+    """Per-frame packing (tiny XLA gathers): ``(f32_vec, i32_vec)`` for the
+    kernel's two SoA SMEM inputs."""
+    geo = bv[jnp.asarray(layout.bv_gather)] * jnp.asarray(layout.bv_mask)
+    mat = params[jnp.asarray(layout.mat_slots)].reshape(-1)
+    return (jnp.concatenate([geo.astype(jnp.float32),
+                             mat.astype(jnp.float32)]),
+            jnp.asarray(layout.i_const))

@@ -109,6 +109,7 @@ def test_soa_normals_match_unrolled():
                            atol=1e-5)
 
 
+@pytest.mark.slow
 def test_soa_render_bounces0_matches_oracle():
     from compute_path_tracer_tpu.render.reference import render_frame
 
@@ -151,7 +152,69 @@ def test_soa_compile_time_bounded():
     t0 = time.perf_counter()
     out = render_frame_soa(cs.spec, cs.params, width=64, height=32,
                            bounces=1, fov=1.0)
-    out.block_until_ready()
+    # np.asarray forces materialization (on the axon TPU platform
+    # block_until_ready alone can return early - bench.py:run).
+    arr = np.asarray(out)
     elapsed = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(arr).all()
     assert elapsed < 120.0
+
+
+@pytest.mark.slow
+def test_soa_kernel_interpret_matches_analytic_all():
+    """The Pallas analytic_soa kernel (in-kernel fori_loop over the packed
+    SMEM tables) must be bit-exact with the trace-unrolled analytic_all
+    kernel - same closed forms, same membership fold, same shading."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+
+    cs = compile_scene(benchmark_scene(16))
+    kw = dict(width=128, height=64, bounces=3, geometry="baked",
+              interpret=True)
+    a = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_all=True, **kw))
+    s = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_soa=True, **kw))
+    assert float(np.abs(a - s).max()) == 0.0
+
+
+def test_soa_kernel_interpret_clobber_scene():
+    """analytic_soa on a scene WITH ancestor clobbers matches analytic_all
+    (exercises the in-kernel ancestor-guard membership path)."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+
+    root = Union(name="R")
+    child = Union(name="C")
+    inner = child.add_shape(Shape(KIND_SPHERE, name="inner"))
+    inner.transform.aabb = False
+    inner.size.set(0.8)
+    inner.material.brightness.set(2.0)
+    inner.material.light_col.set(1.0, 1.0, 1.0)
+    root.add_union(child)
+    first = root.add_shape(Shape(KIND_SPHERE, name="first"))
+    first.transform.position.set(0.5, 0.0, 0.0)
+    first.material.brightness.set(1.0)
+    first.material.light_col.set(1.0, 0.5, 0.2)
+    cs = compile_scene(Scene([root]))
+    kw = dict(width=128, height=32, bounces=1, geometry="baked",
+              interpret=True)
+    a = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_all=True, **kw))
+    s = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_soa=True, **kw))
+    assert float(np.abs(a - s).max()) == 0.0
+
+
+@pytest.mark.tpu
+def test_soa_kernel_tpu_matches_analytic_all():
+    """Hardware lane: Mosaic-compile the SoA kernel on the real chip and
+    require bit-exact agreement with the unrolled analytic_all kernel
+    (round-5 silicon run: 0.0 mismatch at 256x128)."""
+    from compute_path_tracer_tpu.kernels.megakernel import render_frame_pallas
+
+    cs = compile_scene(benchmark_scene(16))
+    kw = dict(width=256, height=128, bounces=3, geometry="baked")
+    a = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_all=True, **kw))
+    s = np.asarray(render_frame_pallas(cs.spec, cs.params,
+                                       analytic_soa=True, **kw))
+    assert float(np.abs(a - s).max()) == 0.0
