@@ -174,6 +174,7 @@ def test_analytic_all_image_agreement_interpret():
     assert float((diff > 1e-2).mean()) < 5e-3
 
 
+@pytest.mark.slow
 def test_analytic_all_bounces0_matches_oracle():
     """Primary-only (bounces=0) analytic bounce: hits land exactly where the
     oracle's march converges, so the images agree outright (also guards the

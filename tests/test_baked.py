@@ -146,6 +146,7 @@ def test_bake_is_differentiable():
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_b), rtol=0.05, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_kernel_interpret_baked_matches_oracle():
     """Pallas kernel (interpret mode) and jnp oracle share the baked closures
     and must agree bit-for-bit, culling included."""

@@ -255,6 +255,7 @@ def _flat_ball_cs():
     return compile_scene(Scene([root]))
 
 
+@pytest.mark.slow
 def test_fused_edge_grad_matches_xla_estimator():
     """The fused primary edge term must reproduce diff/vjp.py's calibrated
     estimator: same beta formula, same proxy; only the closest-approach tap
