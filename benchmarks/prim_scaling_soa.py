@@ -25,13 +25,15 @@ W, H, BOUNCES = 1920, 1080, 8
 
 
 def _time_steady(fn, n=3):
-    # np.asarray forces remote materialization - under the axon tunnel
-    # block_until_ready alone does not (same forcing as bench.py rows).
-    np.asarray(fn()).sum()
+    # A 2x2-slice D2H read forces completion without timing a full-frame
+    # transfer over the axon tunnel (same methodology as bench.py rows;
+    # a full np.asarray(frame) adds ~200 ms/frame of pure readback and
+    # was what the first artifact revision measured).
+    np.asarray(fn()[:2, :2]).sum()
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    np.asarray(out).sum()
+    np.asarray(out[:2, :2]).sum()
     return (time.perf_counter() - t0) / n
 
 
@@ -51,7 +53,7 @@ def main():
         first_k = render_frame_pallas(cs.spec, cs.params, width=W,
                                       height=H, bounces=BOUNCES,
                                       geometry="baked", analytic_soa=True)
-        np.asarray(first_k).sum()
+        np.asarray(first_k[:2, :2]).sum()
         kcompile_s = time.perf_counter() - t0
         kms = _time_steady(lambda: render_frame_pallas(
             cs.spec, cs.params, width=W, height=H, bounces=BOUNCES,
@@ -61,14 +63,14 @@ def main():
             "pallas_soa_compile_s": round(kcompile_s, 1),
             "pallas_soa_ms": round(kms, 2),
             "pallas_soa_mrays": round(rays / kms / 1e3, 1),
-            "finite": bool(np.isfinite(np.asarray(first_k)).all()),
+            "finite": bool(np.isfinite(np.asarray(first_k)).all()),  # one full read, outside timing
         }
         # XLA SoA fallback lane (render/soa.py): bandwidth-bound, kept as
         # the no-Mosaic path.
         t0 = time.perf_counter()
         first = render_frame_soa(cs.spec, cs.params, width=W, height=H,
                                  bounces=BOUNCES, fov=1.0)
-        np.asarray(first).sum()
+        np.asarray(first[:2, :2]).sum()
         row["xla_soa_compile_s"] = round(time.perf_counter() - t0, 1)
         ms = _time_steady(lambda: render_frame_soa(
             cs.spec, cs.params, width=W, height=H, bounces=BOUNCES,
@@ -82,11 +84,17 @@ def main():
         "Two SoA lanes, both compile-bounded in n (one trace; the "
         "unrolled kernels grew superlinearly and died at 256, "
         "prim_scaling_r05.jsonl). The Pallas analytic_soa kernel walks "
-        "the packed SMEM tables with an in-kernel fori_loop - "
-        "VMEM-resident state, unrolled-class runtime. The XLA "
-        "render_frame_soa lane pays HBM for every (chunk, lanes) "
-        "intermediate (~2 orders slower) and is kept as the "
-        "no-Mosaic/CPU fallback and the differentiable stopgap."
+        "the packed SMEM tables with an in-kernel fori_loop (U=8 inner "
+        "unroll + per-trip tile-uniform skip): 413 Mrays/s at 64 prims "
+        "(65% of the 631 M unrolled headline), and it MATCHES the "
+        "unrolled analytic_all runtime at 128/256 prims (190/82.7 M vs "
+        "prim_scaling_r05's 171/81 M) while compiling in 42/85 s where "
+        "the unrolled 256 took tens of minutes; 512 prims = 37.3 M, a "
+        "count no unrolled kernel ever compiled. Runtime ~doubles per "
+        "prim doubling (the per-trip skip recovers some sublinearity "
+        "on sparse tiles). The XLA render_frame_soa lane pays HBM for "
+        "every (chunk, lanes) intermediate (~2 orders slower) and is "
+        "kept as the no-Mosaic/CPU fallback and differentiable stopgap."
     )})
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "artifacts", "prim_scaling_soa_r05.jsonl")
